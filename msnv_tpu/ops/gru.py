@@ -1,0 +1,125 @@
+"""Multi-layer GRU as `lax.scan`, with torch gate semantics.
+
+Replaces the reference's cuDNN GRU (ref model.py:133-165). Gate math matches
+torch.nn.GRU exactly (gate order [r, z, n]):
+
+    r = sigmoid(W_ir x + b_ir + W_hr h + b_hr)
+    z = sigmoid(W_iz x + b_iz + W_hz h + b_hz)
+    n = tanh(W_in x + b_in + r * (W_hn h + b_hn))
+    h' = (1 - z) * n + z * h
+
+TPU mapping: the input projection for ALL timesteps is one large MXU matmul
+outside the scan; the scan body only carries the h-dependent (B, H)x(H, 3H)
+matmul. Weight layout is torch's: w_ih (3H, in), w_hh (3H, H).
+
+Init parity (ref model.py:154-165 + nn.py:51-63): w_ih gates all
+lecun_uniform over per-gate chunks; w_hh gates [lecun, lecun, orthogonal];
+biases zero.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from msnv_tpu.ops.linear import lecun_uniform, orthogonal
+
+
+def gru_init(key, n_layers: int, in_dim: int, hidden: int, dtype=jnp.float32):
+    """Initialize an `n_layers` GRU; layer 0 consumes `in_dim`."""
+    layers = []
+    for layer in range(n_layers):
+        d_in = in_dim if layer == 0 else hidden
+        key, k_ih_r, k_ih_z, k_ih_n, k_hh_r, k_hh_z, k_hh_n = (
+            jax.random.split(key, 7))
+        # Per-gate chunks, matching ref nn.py:51-63 concat_init semantics:
+        # each (hidden, d_in) chunk drawn independently with its initializer.
+        w_ih = jnp.concatenate([
+            lecun_uniform(k_ih_r, (hidden, d_in), dtype=dtype),
+            lecun_uniform(k_ih_z, (hidden, d_in), dtype=dtype),
+            lecun_uniform(k_ih_n, (hidden, d_in), dtype=dtype),
+        ], axis=0)
+        w_hh = jnp.concatenate([
+            lecun_uniform(k_hh_r, (hidden, hidden), dtype=dtype),
+            lecun_uniform(k_hh_z, (hidden, hidden), dtype=dtype),
+            orthogonal(k_hh_n, (hidden, hidden), dtype=dtype),
+        ], axis=0)
+        layers.append({
+            "w_ih": w_ih,
+            "w_hh": w_hh,
+            "b_ih": jnp.zeros((3 * hidden,), dtype),
+            "b_hh": jnp.zeros((3 * hidden,), dtype),
+        })
+    return layers
+
+
+def _layer_apply(p, x, h0):
+    """One GRU layer. x: (B, T, d_in), h0: (B, H) -> (y (B, T, H), hT)."""
+    hidden = h0.shape[-1]
+    # All-timestep input projection: one MXU matmul (B*T, d_in)x(d_in, 3H).
+    x_proj = jnp.einsum("bti,gi->btg", x, p["w_ih"],
+                        preferred_element_type=x.dtype) + p["b_ih"]
+
+    w_hh_t = p["w_hh"].T  # (H, 3H)
+    b_hh = p["b_hh"]
+
+    def step(h, xp):
+        # xp: (B, 3H) for this timestep.
+        h_proj = jnp.dot(h, w_hh_t, preferred_element_type=h.dtype) + b_hh
+        xr, xz, xn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    x_proj_t = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 3H) scan-major
+    hT, ys = jax.lax.scan(step, h0, x_proj_t)
+    return jnp.swapaxes(ys, 0, 1), hT
+
+
+def gru_apply(params, x, h0):
+    """Multi-layer GRU.
+
+    Args:
+      params: list of per-layer dicts from `gru_init`.
+      x: (B, T, d_in).
+      h0: (n_layers, B, H) initial hidden.
+
+    Returns:
+      (y (B, T, H) — last layer outputs, h (n_layers, B, H)).
+    """
+    h_out = []
+    y = x
+    for layer, p in enumerate(params):
+        y, hT = _layer_apply(p, y, h0[layer])
+        h_out.append(hT)
+    return y, jnp.stack(h_out)
+
+
+def gru_cell(params, x, h):
+    """Single-step multi-layer GRU for the generation loop.
+
+    Args:
+      params: list of per-layer dicts.
+      x: (B, d_in) one timestep.
+      h: (n_layers, B, H).
+
+    Returns:
+      (y (B, H), h' (n_layers, B, H)).
+    """
+    h_out = []
+    y = x
+    for layer, p in enumerate(params):
+        xp = jnp.dot(y, p["w_ih"].T, preferred_element_type=y.dtype) + p["b_ih"]
+        hp = jnp.dot(h[layer], p["w_hh"].T,
+                     preferred_element_type=y.dtype) + p["b_hh"]
+        xr, xz, xn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        y = (1.0 - z) * n + z * h[layer]
+        h_out.append(y)
+    return y, jnp.stack(h_out)

@@ -1,0 +1,26 @@
+"""Test harness config: force CPU JAX with a virtual 8-device mesh.
+
+Must run before jax initializes its backend, hence top of conftest.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+# Determinism and no accidental HBM grabs in tests.
+os.environ.setdefault("XLA_PYTHON_CLIENT_PREALLOCATE", "false")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The environment's axon TPU plugin force-selects jax_platforms="axon,cpu"
+# at sitecustomize time, ignoring the JAX_PLATFORMS env var. Override at
+# config level so tests run on the virtual 8-device CPU mesh (fast, f32
+# precision) instead of round-tripping through the TPU tunnel.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
