@@ -1,0 +1,119 @@
+"""Checkpointing: params + optimizer state + TBPTT hidden + data cursor.
+
+Capability superset of the reference's SaverPlugin (ref
+trainer/plugins.py:113-155 + train.py:110-126):
+- `ep{E}-it{I}.npz` per epoch, old "last" checkpoints deleted unless
+  keep_old (ref plugins.py:127-129)
+- `best-ep{E}-it{I}.npz` tracked on validation loss (ref plugins.py:138-150)
+- epoch/iteration parse back out of the filename on resume
+  (ref train.py:110-126)
+- DEVIATION (improvement, documented): the reference saves only the model
+  state_dict — resume restarts Adam moments and the data cursor. We save the
+  full training state (params, opt state, hidden state, cursor) so resume is
+  exact.
+
+Format: a single .npz with positionally-indexed leaves + a JSON meta entry.
+Restore requires a template pytree with the same structure (the caller
+rebuilds model/optimizer from the experiment tag, like ref generate.py does).
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import json
+import os
+import re
+
+import jax
+import numpy as np
+
+LAST_PATTERN = "ep{}-it{}.npz"                    # ref plugins.py:117
+BEST_PATTERN = "best-ep{}-it{}.npz"               # ref plugins.py:118
+_LAST_RE = re.compile(r"^ep(\d+)-it(\d+)\.npz$")
+_BEST_RE = re.compile(r"^best-ep(\d+)-it(\d+)\.npz$")
+
+
+def save_checkpoint(path: str, state, meta: dict | None = None) -> None:
+    """Save a pytree `state` (+ JSON-serializable `meta`) to `path`."""
+    leaves = jax.tree_util.tree_leaves(state)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8)
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, path)  # atomic
+
+
+def load_checkpoint(path: str, template):
+    """Load into the structure of `template`; returns (state, meta)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode() or "{}")
+        treedef = jax.tree_util.tree_structure(template)
+        t_leaves = jax.tree_util.tree_leaves(template)
+        leaves = []
+        for i, t in enumerate(t_leaves):
+            arr = z[f"leaf_{i}"]
+            if hasattr(t, "dtype"):
+                arr = arr.astype(t.dtype)
+            leaves.append(arr)
+        state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return state, meta
+
+
+class CheckpointManager:
+    """last/best retention policy over a checkpoints directory."""
+
+    def __init__(self, checkpoints_dir: str, keep_old: bool = False):
+        self.dir = checkpoints_dir
+        self.keep_old = keep_old
+        os.makedirs(checkpoints_dir, exist_ok=True)
+        self._best_loss = float("inf")
+
+    def save_epoch(self, state, epoch: int, iteration: int,
+                   val_loss: float | None = None, meta: dict | None = None):
+        meta = dict(meta or {}, epoch=epoch, iteration=iteration)
+        if not self.keep_old:
+            for p in glob.glob(os.path.join(self.dir, "ep*-it*.npz")):
+                if _LAST_RE.match(os.path.basename(p)):
+                    os.remove(p)
+        path = os.path.join(self.dir, LAST_PATTERN.format(epoch, iteration))
+        save_checkpoint(path, state, meta)
+        if val_loss is not None and val_loss < self._best_loss:
+            self._best_loss = val_loss
+            for p in glob.glob(os.path.join(self.dir, "best-ep*-it*.npz")):
+                os.remove(p)
+            best = os.path.join(self.dir,
+                                BEST_PATTERN.format(epoch, iteration))
+            save_checkpoint(best, state, dict(meta, val_loss=val_loss))
+        return path
+
+    def latest(self):
+        """Newest last-checkpoint path + (epoch, iteration), or None.
+
+        Natural-sort on the numeric fields parsed from the filename
+        (ref train.py:110-126).
+        """
+        found = []
+        for p in glob.glob(os.path.join(self.dir, "ep*-it*.npz")):
+            m = _LAST_RE.match(os.path.basename(p))
+            if m:
+                found.append((int(m.group(1)), int(m.group(2)), p))
+        if not found:
+            return None
+        e, i, p = max(found)
+        return p, e, i
+
+    def best(self):
+        found = []
+        for p in glob.glob(os.path.join(self.dir, "best-ep*-it*.npz")):
+            m = _BEST_RE.match(os.path.basename(p))
+            if m:
+                found.append((int(m.group(1)), int(m.group(2)), p))
+        if not found:
+            return None
+        e, i, p = max(found)
+        return p, e, i

@@ -1,0 +1,211 @@
+"""Trainer plugins: monitors, validation, checkpointing, stats persistence.
+
+Functional parity with ref trainer/plugins.py:
+- TrainingLossMonitor: per-iteration loss with EMA running average
+  (smoothing 0.99, ref plugins.py:21-23 + torch monitor semantics)
+- ValidationPlugin: val/test NLL-bits per epoch, loss*batch averaged
+  (ref plugins.py:26-92)
+- AbsoluteTimeMonitor: wall-clock since training start (ref plugins.py:95-110)
+- SaverPlugin: last/best checkpoints per epoch (ref plugins.py:113-155),
+  backed by CheckpointManager
+- Logger: prints selected stat fields per iteration/epoch (torch Logger,
+  ref train.py:290-297)
+- StatsPlugin: persists stats.json and renders loss.svg
+  (ref plugins.py:184-283; json instead of pickle, documented deviation)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+
+class Plugin:
+    #: list of (interval, event) pairs; event in {"iteration", "epoch"}
+    schedule = ()
+
+    def register(self, trainer):
+        self.trainer = trainer
+
+    def iteration(self, *args):
+        pass
+
+    def epoch(self, epoch_index: int):
+        pass
+
+
+class Monitor(Plugin):
+    """Stat aggregator: last / epoch_mean / running_avg (EMA)."""
+
+    stat_name: str = "stat"
+
+    def __init__(self, smoothing: float = 0.7):
+        self.smoothing = smoothing
+        self._sum = 0.0
+        self._n = 0
+
+    def register(self, trainer):
+        super().register(trainer)
+        self.stats = trainer.stats.setdefault(self.stat_name, {})
+        self.stats.setdefault("log_format", ":.4f")
+
+    def update(self, value: float):
+        self.stats["last"] = value
+        self._sum += value
+        self._n += 1
+        ra = self.stats.get("running_avg")
+        self.stats["running_avg"] = (
+            value if ra is None
+            else ra * self.smoothing + value * (1 - self.smoothing))
+
+    def epoch(self, epoch_index: int):
+        if self._n:
+            self.stats["epoch_mean"] = self._sum / self._n
+        self._sum, self._n = 0.0, 0
+
+
+class TrainingLossMonitor(Monitor):
+    stat_name = "training_loss"
+
+    def iteration(self, loss: float):
+        self.update(loss)
+
+
+class ValidationPlugin(Plugin):
+    """Per-epoch val/test evaluation (ref plugins.py:26-92)."""
+
+    def __init__(self, val_loader, test_loader):
+        self.val_loader = val_loader
+        self.test_loader = test_loader
+
+    def register(self, trainer):
+        super().register(trainer)
+        trainer.stats.setdefault("validation_loss", {"log_format": ":.4f"})
+        trainer.stats.setdefault("test_loss", {"log_format": ":.4f"})
+
+    def epoch(self, epoch_index: int):
+        t = self.trainer
+        t.stats["validation_loss"]["last"] = t.evaluate(self.val_loader)
+        t.stats["test_loss"]["last"] = t.evaluate(self.test_loader)
+
+
+class AbsoluteTimeMonitor(Plugin):
+    def register(self, trainer):
+        super().register(trainer)
+        self.start = time.time()
+        trainer.stats.setdefault("time", {"log_format": ":.1f"})
+
+    def iteration(self, loss: float):
+        self.trainer.stats["time"]["last"] = time.time() - self.start
+
+    def epoch(self, epoch_index: int):
+        self.trainer.stats["time"]["last"] = time.time() - self.start
+
+
+class SaverPlugin(Plugin):
+    """Write last/best checkpoints each epoch via CheckpointManager."""
+
+    def __init__(self, manager):
+        self.manager = manager
+
+    def epoch(self, epoch_index: int):
+        t = self.trainer
+        val = t.stats.get("validation_loss", {}).get("last")
+        self.manager.save_epoch(
+            t.checkpoint_state(), epoch_index, t.iterations,
+            val_loss=val, meta={"tag": t.tag})
+
+
+class Logger(Plugin):
+    """Print selected stats (torch Logger equivalent, ref train.py:290-297)."""
+
+    def __init__(self, fields, log_epoch: bool = True,
+                 log_interval: int = 100):
+        self.fields = fields
+        self.log_epoch = log_epoch
+        self.log_interval = log_interval
+
+    def _line(self):
+        parts = []
+        for f in self.fields:
+            stat = self.trainer.stats.get(f, {})
+            v = stat.get("last")
+            if v is not None:
+                parts.append(f"{f}: {v:.4f}")
+            ra = stat.get("running_avg")
+            if f == "training_loss" and ra is not None:
+                parts.append(f"{f}/running_avg: {ra:.4f}")
+        return "\t".join(parts)
+
+    def iteration(self, loss: float):
+        if self.trainer.iterations % self.log_interval == 0:
+            print(f"it {self.trainer.iterations}\t{self._line()}", flush=True)
+
+    def epoch(self, epoch_index: int):
+        if self.log_epoch:
+            print(f"epoch {epoch_index}\t{self._line()}", flush=True)
+
+
+class StatsPlugin(Plugin):
+    """Persist stats history to stats.json + render loss curves to loss.svg
+    (ref plugins.py:184-283; json instead of pickle)."""
+
+    def __init__(self, results_path: str,
+                 iteration_fields=("training_loss",),
+                 epoch_fields=("validation_loss", "test_loss", "time"),
+                 plot: bool = True):
+        self.results_path = results_path
+        self.iteration_fields = iteration_fields
+        self.epoch_fields = epoch_fields
+        self.plot = plot
+        self.history = {f: [] for f in
+                        list(iteration_fields) + list(epoch_fields)}
+        self.history["iterations"] = []
+        self.history["epochs"] = []
+
+    def iteration(self, loss: float):
+        self.history["iterations"].append(self.trainer.iterations)
+        for f in self.iteration_fields:
+            self.history[f].append(
+                self.trainer.stats.get(f, {}).get("last"))
+
+    def epoch(self, epoch_index: int):
+        self.history["epochs"].append(epoch_index)
+        for f in self.epoch_fields:
+            self.history[f].append(
+                self.trainer.stats.get(f, {}).get("last"))
+        with open(os.path.join(self.results_path, "stats.json"), "w") as fh:
+            json.dump(self.history, fh)
+        if self.plot:
+            self._render()
+
+    def _render(self):
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        fig, ax = plt.subplots(figsize=(8, 5))
+        it = self.history["iterations"]
+        tl = [v for v in self.history.get("training_loss", []) if v is not None]
+        if tl:
+            ax.plot(it[:len(tl)], tl, label="training_loss", alpha=0.5)
+        eps = self.history["epochs"]
+        if eps and it:
+            per_epoch_x = np.linspace(0, max(it), len(eps) + 1)[1:]
+            for f in ("validation_loss", "test_loss"):
+                ys = self.history.get(f, [])
+                ys = [y for y in ys if y is not None]
+                if ys:
+                    ax.plot(per_epoch_x[:len(ys)], ys, label=f, marker="o")
+        ax.set_yscale("log")
+        ax.set_xlabel("iteration")
+        ax.set_ylabel("NLL (bits)")
+        ax.legend()
+        fig.savefig(os.path.join(self.results_path, "loss.svg"))
+        plt.close(fig)

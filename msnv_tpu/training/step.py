@@ -1,0 +1,107 @@
+"""Jitted TBPTT train/eval steps, optionally sharded over a device mesh.
+
+Replaces the reference's closure-style optimizer.step path (ref
+trainer/__init__.py:62-117 + optim.py:4-21) with a single compiled function:
+forward -> NLL-bits loss -> grad -> element-wise clip -> Adam -> new params,
+with the TBPTT hidden state threaded through as a donated argument.
+
+With a mesh: batch-like inputs (data/target/cond/spk, hidden state) are
+sharded along 'data'; params/opt-state replicated over 'data' (and
+tensor-sharded over 'model' when that axis is >1). XLA inserts the gradient
+psum over ICI — the same step runs on 1 chip or an N-host pod slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from msnv_tpu.config import ModelConfig
+from msnv_tpu.models.samplernn import (
+    predictor_apply, sequence_nll_loss_bits,
+)
+from msnv_tpu.parallel.mesh import (
+    batch_sharding, param_sharding, replicated, state_sharding,
+)
+
+
+def make_train_step(cfg: ModelConfig, optimizer, mesh=None, donate=True):
+    """Build the jitted train step.
+
+    step(params, opt_state, state, data, reset, target, cond, spk)
+      -> (params, opt_state, state, loss_bits)
+    """
+
+    def loss_fn(params, state, data, reset, cond, spk, target):
+        log_probs, new_state, _latent = predictor_apply(
+            params, cfg, data, reset, cond, spk, state)
+        loss = sequence_nll_loss_bits(log_probs, target)
+        return loss, new_state
+
+    def step(params, opt_state, state, data, reset, target, cond, spk):
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, state, data, reset, cond, spk,
+                                   target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, state_stop_gradient(new_state), loss
+
+    kwargs = {}
+    if donate:
+        kwargs["donate_argnums"] = (0, 1, 2)
+    if mesh is None:
+        return jax.jit(step, **kwargs)
+
+    def shard_like_params(template):
+        return param_sharding(mesh, template)
+
+    b = batch_sharding(mesh)
+    st = state_sharding(mesh)
+    rep = replicated(mesh)
+
+    def jit_with_shardings(params_template, opt_template, state_template):
+        p_sh = shard_like_params(params_template)
+        o_sh = jax.tree_util.tree_map(lambda _: rep, opt_template)
+        s_sh = [st for _ in state_template]
+        return jax.jit(
+            step,
+            in_shardings=(p_sh, o_sh, s_sh, b, rep, b, b, b),
+            out_shardings=(p_sh, o_sh, s_sh, rep),
+            **kwargs,
+        )
+
+    return jit_with_shardings
+
+
+def state_stop_gradient(state):
+    """TBPTT boundary: no grads flow into the carried state
+    (ref model.py:348 `.detach()`)."""
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, state)
+
+
+def make_eval_step(cfg: ModelConfig, mesh=None):
+    """Jitted evaluation step: loss only, state threaded (used by the
+    ValidationPlugin, ref trainer/plugins.py:51-92)."""
+
+    def step(params, state, data, reset, target, cond, spk):
+        log_probs, new_state, _ = predictor_apply(
+            params, cfg, data, reset, cond, spk, state)
+        return sequence_nll_loss_bits(log_probs, target), new_state
+
+    if mesh is None:
+        return jax.jit(step)
+    b = batch_sharding(mesh)
+    st = state_sharding(mesh)
+    rep = replicated(mesh)
+
+    def jit_with_shardings(params_template, state_template):
+        p_sh = param_sharding(mesh, params_template)
+        s_sh = [st for _ in state_template]
+        return jax.jit(step, in_shardings=(p_sh, s_sh, b, rep, b, b, b),
+                       out_shardings=(rep, s_sh))
+
+    return jit_with_shardings

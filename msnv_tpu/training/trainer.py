@@ -1,0 +1,109 @@
+"""Trainer: TBPTT epoch loop with plugin events and exact resume.
+
+Re-design of ref trainer/__init__.py:9-117. The torch version re-implements
+torch 0.4's Trainer with heap-based plugin queues and a closure-style
+optimizer step; here the compiled train step owns the math and the Trainer
+owns the loop, the streaming loaders, plugin dispatch, and resumable
+training state (epoch, iteration, TBPTT hidden, data cursor).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from msnv_tpu.config import ExperimentConfig, make_tag
+from msnv_tpu.models.samplernn import init_tier_state
+from msnv_tpu.training.step import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, params, optimizer, loader,
+                 mesh=None):
+        self.cfg = cfg
+        self.tag = make_tag(cfg)
+        self.params = params
+        self.optimizer = optimizer
+        self.opt_state = optimizer.init(params)
+        self.loader = loader
+        self.mesh = mesh
+        self.state = init_tier_state(cfg.model, loader._qdata.shape[0])
+        self.epochs = 0        # completed epochs (resume sets this)
+        self.iterations = 0
+        self.stats = {}
+        self.plugins = []
+
+        step_builder = make_train_step(cfg.model, optimizer, mesh=mesh)
+        eval_builder = make_eval_step(cfg.model, mesh=mesh)
+        if mesh is None:
+            self._step = step_builder
+            self._eval = eval_builder
+        else:
+            self._step = step_builder(self.params, self.opt_state, self.state)
+            self._eval = eval_builder(self.params, self.state)
+
+    # -- plugins ----------------------------------------------------------
+    def register_plugin(self, plugin):
+        plugin.register(self)
+        self.plugins.append(plugin)
+        return plugin
+
+    def _call_plugins(self, event: str, *args):
+        for p in self.plugins:
+            getattr(p, event)(*args)
+
+    # -- training ---------------------------------------------------------
+    def train_chunk(self, chunk):
+        """One optimizer step on one TBPTT chunk; returns loss (bits)."""
+        self.params, self.opt_state, self.state, loss = self._step(
+            self.params, self.opt_state, self.state,
+            jnp.asarray(chunk.data), jnp.asarray(chunk.reset),
+            jnp.asarray(chunk.target), jnp.asarray(chunk.cond),
+            jnp.asarray(chunk.spk))
+        return loss
+
+    def train_epoch(self, start_chunk: int = 0):
+        for chunk in self.loader.epoch(start_chunk=start_chunk):
+            loss = self.train_chunk(chunk)
+            self.iterations += 1
+            self._call_plugins("iteration", float(loss))
+
+    def run(self, epoch_limit: int, start_chunk: int = 0):
+        """Run up to epoch_limit epochs, resuming from self.epochs
+        (ref trainer/__init__.py:52-60)."""
+        for epoch in range(self.epochs + 1, epoch_limit + 1):
+            self.train_epoch(start_chunk if epoch == self.epochs + 1 else 0)
+            self.epochs = epoch
+            self._call_plugins("epoch", epoch)
+
+    # -- evaluation -------------------------------------------------------
+    def evaluate(self, loader) -> float:
+        """Mean NLL-bits over a partition, loss*batch_size weighted like the
+        reference (ref plugins.py:51-92). Uses fresh hidden state."""
+        state = init_tier_state(self.cfg.model, loader._qdata.shape[0])
+        total, n = 0.0, 0
+        for chunk in loader.epoch():
+            loss, state = self._eval(
+                self.params, state, jnp.asarray(chunk.data),
+                jnp.asarray(chunk.reset), jnp.asarray(chunk.target),
+                jnp.asarray(chunk.cond), jnp.asarray(chunk.spk))
+            b = chunk.data.shape[0]
+            total += float(loss) * b
+            n += b
+        return total / max(n, 1)
+
+    # -- checkpoint interface ---------------------------------------------
+    def checkpoint_state(self):
+        """Full resumable state pytree (params + opt + TBPTT hidden)."""
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "tier_state": self.state,
+        }
+
+    def restore(self, state, meta):
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.state = state["tier_state"]
+        self.epochs = int(meta.get("epoch", 0))
+        self.iterations = int(meta.get("iteration", 0))

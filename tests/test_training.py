@@ -1,0 +1,151 @@
+"""Training engine: loss decreases on a tiny corpus, plugin events fire,
+checkpoint/resume is exact, optimizer semantics (clip + adam + schedule)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msnv_tpu.config import (DataConfig, ExperimentConfig, ModelConfig,
+                             TrainConfig)
+from msnv_tpu.data.corpus import CorpusConfig, build_corpus
+from msnv_tpu.data.loader import ChunkLoader
+from msnv_tpu.data.synthetic import make_synthetic_corpus
+from msnv_tpu.models.samplernn import init_params
+from msnv_tpu.training.checkpoint import (CheckpointManager, load_checkpoint,
+                                          save_checkpoint)
+from msnv_tpu.training.optim import make_optimizer, lr_schedule
+from msnv_tpu.training.plugins import (AbsoluteTimeMonitor, Logger,
+                                       SaverPlugin, StatsPlugin,
+                                       TrainingLossMonitor, ValidationPlugin)
+from msnv_tpu.training.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("train_corpus"))
+    make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=2,
+                          frames_per_utt=150, cond_len=16,
+                          partitions=("train", "validation", "test"))
+    ccfg = CorpusConfig(
+        datasets_path=root, wav_path=os.path.join(root, "wav"),
+        cond_path=os.path.join(root, "cond"),
+        overlap_len=16, seq_len=64, batch_size=4, cond_len=16,
+        norm_ind=False, cache_dir=os.path.join(root, "npy"))
+    corpus = build_corpus(ccfg, "train")
+    loader = ChunkLoader(corpus, seq_len=64, overlap_len=16, cond_len=16)
+
+    cfg = ExperimentConfig(
+        exp="test",
+        model=ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=32, cond_dim=43,
+                          cond_len=16, spk_dim=2),
+        train=TrainConfig(seq_len=64, batch_size=4, learning_rate=2e-3),
+    )
+    return cfg, ccfg, corpus, loader, root
+
+
+def make_trainer(cfg, loader, seed=0):
+    params = init_params(jax.random.PRNGKey(seed), cfg.model)
+    opt = make_optimizer(cfg.train)
+    return Trainer(cfg, params, opt, loader)
+
+
+def test_loss_decreases(tiny_setup):
+    cfg, _, _, loader, _ = tiny_setup
+    trainer = make_trainer(cfg, loader)
+    first = float(trainer.train_chunk(loader.get_chunk(0)))
+    for _ in range(3):
+        trainer.train_epoch()
+    last = float(trainer.train_chunk(loader.get_chunk(0)))
+    assert last < first - 0.3, (first, last)
+
+
+def test_plugins_and_stats(tiny_setup, tmp_path):
+    cfg, ccfg, _, loader, _ = tiny_setup
+    trainer = make_trainer(cfg, loader)
+    val = build_corpus(ccfg, "validation")
+    val_loader = ChunkLoader(val, 64, 16, 16)
+    results = str(tmp_path / "results")
+    os.makedirs(results)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    trainer.register_plugin(TrainingLossMonitor(smoothing=0.99))
+    trainer.register_plugin(ValidationPlugin(val_loader, val_loader))
+    trainer.register_plugin(AbsoluteTimeMonitor())
+    trainer.register_plugin(SaverPlugin(mgr))
+    trainer.register_plugin(Logger(["training_loss", "validation_loss",
+                                    "test_loss", "time"]))
+    trainer.register_plugin(StatsPlugin(results, plot=False))
+    trainer.run(2)
+
+    assert trainer.stats["training_loss"]["last"] > 0
+    assert trainer.stats["training_loss"]["running_avg"] > 0
+    assert trainer.stats["validation_loss"]["last"] > 0
+    assert trainer.stats["time"]["last"] > 0
+    assert os.path.isfile(os.path.join(results, "stats.json"))
+    assert mgr.latest() is not None
+    _, e, it = mgr.latest()
+    assert e == 2 and it == trainer.iterations
+    assert mgr.best() is not None  # val loss finite -> best tracked
+
+
+def test_checkpoint_resume_exact(tiny_setup, tmp_path):
+    cfg, _, _, loader, _ = tiny_setup
+    t1 = make_trainer(cfg, loader, seed=1)
+    t1.run(1)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, t1.checkpoint_state(),
+                    {"epoch": t1.epochs, "iteration": t1.iterations})
+    # continue t1 for one more epoch
+    t1.run(2)
+
+    # resume a fresh trainer from the checkpoint and do the same epoch
+    t2 = make_trainer(cfg, loader, seed=2)  # different init (overwritten)
+    state, meta = load_checkpoint(path, t2.checkpoint_state())
+    t2.restore(state, meta)
+    assert t2.epochs == 1
+    t2.run(2)
+
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params),
+                    jax.tree_util.tree_leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert t1.iterations == t2.iterations
+
+
+def test_checkpoint_retention(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), keep_old=False)
+    state = {"w": jnp.ones(3)}
+    mgr.save_epoch(state, 1, 10, val_loss=5.0)
+    mgr.save_epoch(state, 2, 20, val_loss=4.0)
+    mgr.save_epoch(state, 3, 30, val_loss=6.0)
+    files = sorted(os.listdir(str(tmp_path)))
+    # only the newest 'last' remains; best is epoch 2
+    assert files == ["best-ep2-it20.npz", "ep3-it30.npz"]
+
+
+def test_grad_clip_semantics():
+    # optax.clip clips element-wise to [-1, 1] like the reference's hardtanh
+    # on grads (ref optim.py:10-14)
+    import optax
+    tc = TrainConfig(learning_rate=1.0, grad_clip=1.0)
+    opt = make_optimizer(tc)
+    params = {"w": jnp.zeros(3)}
+    g = {"w": jnp.array([-5.0, 0.5, 7.0])}
+    st = opt.init(params)
+    updates, _ = opt.update(g, st, params)
+    # adam normalizes magnitude; sign pattern must match the clipped grad
+    np.testing.assert_array_equal(np.sign(np.asarray(updates["w"])),
+                                  [1.0, -1.0, -1.0])
+
+
+def test_lr_schedule_multistep():
+    tc = TrainConfig(learning_rate=1e-3, scheduler=True,
+                     scheduler_milestones=(2, 4), scheduler_gamma=0.1)
+    sched = lr_schedule(tc, steps_per_epoch=10)
+    assert np.isclose(sched(0), 1e-3)
+    assert np.isclose(sched(19), 1e-3)
+    assert np.isclose(sched(20), 1e-4)
+    assert np.isclose(sched(39), 1e-4)
+    assert np.isclose(sched(40), 1e-5)
