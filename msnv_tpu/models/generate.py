@@ -1,0 +1,282 @@
+"""Autoregressive generation as nested `lax.scan` — the TPU answer to the
+reference's one-Python-iteration-per-sample loop (ref model.py:439-520).
+
+Semantics parity with `Generator.__call__`:
+- output length == num_cond_frames * lookback; the requested sample_length
+  is ignored (ref model.py:455 — deliberate quirk parity)
+- the sequence is seeded with `lookback` samples of q_zero (ref model.py:459)
+- tier t fires every ns_frame_samples[t] samples; the top tier consumes cond
+  frame j = i//lookback - 1 and the speaker embedding; lower tiers consume
+  the parent's upsampled slot (i // nfs[t]) % frame_sizes[t+1]
+  (ref model.py:462-501)
+- the sample MLP sees the last frame_sizes[0] raw samples + tier-0's slot
+  i % frame_sizes[0], and samples from the 256-way softmax
+  (ref model.py:504-517)
+- tier inputs are 2 * dequantize(prev) like training (ref model.py:471)
+
+Structure: one scan level per tier — outer scan over cond frames (top tier
+step), a scan over its frame_size slots (next tier down), ..., innermost scan
+over the bottom tier's slots doing embed-gather + MLP + categorical sample.
+All weights stay on device; the per-sample embedding+conv collapses to a
+fused (fs0, q, dim) table gather (the conv over one-hot sample ids is
+linear), so per-sample HBM traffic is just the MLP hidden/out matmuls.
+
+Carry: (ring buffer of the last `lookback` samples, per-tier GRU states,
+PRNG key). Static shapes throughout; no Python control flow inside jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from msnv_tpu.config import ModelConfig
+from msnv_tpu.models.conditioner import conditioner_apply
+from msnv_tpu.models.samplernn import dequantize, mlp_conv_weight
+from msnv_tpu.ops.gru import gru_cell
+from msnv_tpu.ops.linear import dense_apply
+from msnv_tpu.ops.quantize import q_zero
+from msnv_tpu.ops.upsample import upsample_step
+
+
+def fused_embed_conv(mlp_params):
+    """(fs0, q, dim) table T with T[p, s] = embedding[s] @ conv_w[p].
+
+    The MLP input conv over embedded samples is linear in the one-hot sample
+    ids, so per-sample inference needs only fs0 row-gathers instead of a
+    (fs0*q, dim) matmul. Weight-norm is folded in.
+    """
+    w = mlp_conv_weight(mlp_params)            # (fs0, q_emb, dim)
+    emb = mlp_params["embedding"]              # (q, q_emb)
+    return jnp.einsum("se,peo->pso", emb, w)   # (fs0, q, dim)
+
+
+def _mlp_sample(params, fused_table, buf, slot, key):
+    """One sample: fused-gather MLP + categorical draw.
+
+    buf: (B, >=fs0) int ring buffer; slot: (B, dim) tier-0 conditioning.
+    Returns sample (B,) int32.
+    """
+    fs0 = fused_table.shape[0]
+    x = slot
+    for p in range(fs0):  # static unroll: fs0 gathers of (B, dim) rows
+        x = x + fused_table[p][buf[:, -fs0 + p]]
+    x = jax.nn.relu(x)
+    x = jax.nn.relu(dense_apply(params["mlp"]["hidden"], x))
+    logits = dense_apply(params["mlp"]["out"], x)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    return jax.random.categorical(key, log_probs, axis=-1).astype(jnp.int32)
+
+
+def _make_level(params, cfg: ModelConfig, t: int, fused_table):
+    """Scan-step fn for tier t: (carry, upper_slot) -> (carry, (B, nfs[t])).
+
+    carry = (buf (B, lookback) int32, hs tuple of (n_rnn, B, dim), key).
+    `upper_slot` is the parent's (B, dim) upsampled conditioning vector.
+    """
+    tier = params["tiers"][t]
+    nfs = cfg.ns_frame_samples[t]
+
+    if t == 0:
+        def sample_step(carry, slot):
+            buf, hs, key = carry
+            key, sub = jax.random.split(key)
+            s = _mlp_sample(params, fused_table, buf, slot, sub)
+            buf = jnp.concatenate([buf[:, 1:], s[:, None]], axis=1)
+            return (buf, hs, key), s
+    else:
+        sample_step = _make_level(params, cfg, t - 1, fused_table)
+
+    def level_step(carry, upper_slot):
+        buf, hs, key = carry
+        prev = 2.0 * dequantize(cfg, buf[:, -nfs:])       # (B, nfs)
+        x = dense_apply(tier["input_expand"], prev) + upper_slot
+        y, h_new = gru_cell(tier["gru"], x, hs[t])
+        hs = tuple(h_new if i == t else h for i, h in enumerate(hs))
+        slots = upsample_step(tier["upsample"], y)        # (B, fs, dim)
+        (buf, hs, key), ys = jax.lax.scan(
+            sample_step, (buf, hs, key), jnp.swapaxes(slots, 0, 1))
+        # ys: (fs, B) for t==0 else (fs, B, nfs[t-1])
+        samples = jnp.moveaxis(ys, 0, 1).reshape(ys.shape[1], nfs)
+        return (buf, hs, key), samples
+
+    return level_step
+
+
+def _mlp_log_probs(params, fused_table, buf, slot):
+    """Log-probs for the next sample given the ring buffer and tier-0 slot."""
+    fs0 = fused_table.shape[0]
+    x = slot
+    for p in range(fs0):
+        x = x + fused_table[p][buf[:, -fs0 + p]]
+    x = jax.nn.relu(x)
+    x = jax.nn.relu(dense_apply(params["mlp"]["hidden"], x))
+    logits = dense_apply(params["mlp"]["out"], x)
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
+def _make_level_forced(params, cfg: ModelConfig, t: int, fused_table):
+    """Teacher-forced twin of _make_level: consumes (upper_slot, forced
+    samples) and emits per-position log-probs instead of sampling. Used by
+    the generation<->predictor equivalence test."""
+    tier = params["tiers"][t]
+    nfs = cfg.ns_frame_samples[t]
+    fs = cfg.frame_sizes[t]
+
+    if t == 0:
+        def sample_step(carry, xs):
+            slot, forced_s = xs           # (B, dim), (B,)
+            buf, hs = carry
+            lp = _mlp_log_probs(params, fused_table, buf, slot)
+            buf = jnp.concatenate([buf[:, 1:], forced_s[:, None]], axis=1)
+            return (buf, hs), lp
+    else:
+        sample_step = _make_level_forced(params, cfg, t - 1, fused_table)
+
+    def level_step(carry, xs):
+        upper_slot, forced = xs           # forced: (B, nfs)
+        buf, hs = carry
+        prev = 2.0 * dequantize(cfg, buf[:, -nfs:])
+        x = dense_apply(tier["input_expand"], prev) + upper_slot
+        y, h_new = gru_cell(tier["gru"], x, hs[t])
+        hs = tuple(h_new if i == t else h for i, h in enumerate(hs))
+        slots = upsample_step(tier["upsample"], y)
+        forced_slots = jnp.moveaxis(
+            forced.reshape(forced.shape[0], fs, nfs // fs), 1, 0)
+        if t == 0:
+            forced_slots = forced_slots[..., 0]   # (fs, B)
+        (buf, hs), lps = jax.lax.scan(
+            sample_step, (buf, hs),
+            (jnp.swapaxes(slots, 0, 1), forced_slots))
+        # lps: (fs, B, ..., q) -> (B, nfs, q)
+        q = lps.shape[-1]
+        out = jnp.moveaxis(lps, 0, 1).reshape(lps.shape[1], nfs, q)
+        return (buf, hs), out
+
+    return level_step
+
+
+def teacher_forced_log_probs(params, cfg: ModelConfig):
+    """Jitted f(cond, spk, forced_seq) -> (B, T, q) log-probs, where the
+    generation machinery is driven by `forced_seq` instead of sampling.
+    Equivalence gate: must equal predictor_apply on
+    [q_zero*lookback ‖ forced_seq] with reset=True."""
+    top = cfg.n_tiers - 1
+    tier = params["tiers"][top]
+    nfs_top = cfg.ns_frame_samples[top]
+    fused = fused_embed_conv(params["mlp"])
+    below = (_make_level_forced(params, cfg, top - 1, fused)
+             if top > 0 else None)
+
+    def frame_step(spk_vec, carry, xs):
+        cond_j, forced = xs               # (B, C), (B, nfs_top)
+        buf, hs = carry
+        prev = 2.0 * dequantize(cfg, buf[:, -nfs_top:])
+        x = dense_apply(tier["input_expand"], prev)
+        c, _ = conditioner_apply(tier["conditioner"], cfg, cond_j[:, None, :])
+        x = x + c[:, 0, :] + spk_vec
+        y, h_new = gru_cell(tier["gru"], x, hs[top])
+        hs = tuple(h_new if i == top else h for i, h in enumerate(hs))
+        slots = upsample_step(tier["upsample"], y)
+        fs = cfg.frame_sizes[top]
+        forced_slots = jnp.moveaxis(
+            forced.reshape(forced.shape[0], fs, nfs_top // fs), 1, 0)
+        if below is None:
+            forced_slots = forced_slots[..., 0]
+
+            def step(carry2, xs2):
+                slot, fseq = xs2
+                buf2, hs2 = carry2
+                lp = _mlp_log_probs(params, fused, buf2, slot)
+                buf2 = jnp.concatenate([buf2[:, 1:], fseq[:, None]], axis=1)
+                return (buf2, hs2), lp
+        else:
+            step = below
+        (buf, hs), lps = jax.lax.scan(
+            step, (buf, hs), (jnp.swapaxes(slots, 0, 1), forced_slots))
+        q = lps.shape[-1]
+        out = jnp.moveaxis(lps, 0, 1).reshape(lps.shape[1], nfs_top, q)
+        return (buf, hs), out
+
+    @jax.jit
+    def run(cond, spk, forced_seq):
+        batch = cond.shape[0]
+        spk_embed = tier["spk_embedding"][spk]
+        spk_vec = dense_apply(tier["spk_expand"], spk_embed)
+        buf = jnp.full((batch, cfg.lookback), q_zero(cfg.q_levels),
+                       jnp.int32)
+        hs = tuple(
+            jnp.broadcast_to(p_t["h0"][:, None, :],
+                             (cfg.n_rnn, batch, cfg.dim))
+            for p_t in params["tiers"])
+        cond_t = jnp.swapaxes(cond, 0, 1)
+        forced_t = jnp.moveaxis(
+            forced_seq.reshape(batch, -1, nfs_top), 1, 0)
+        (_, _), lps = jax.lax.scan(partial(frame_step, spk_vec), (buf, hs),
+                                   (cond_t, forced_t))
+        q = lps.shape[-1]
+        return jnp.moveaxis(lps, 0, 1).reshape(batch, -1, q)
+
+    return run
+
+
+def generate_fn(params, cfg: ModelConfig):
+    """Build a jitted generate(cond, spk, key) -> (audio, sequences).
+
+    cond: (B, num_frames, effective_cond_dim) normalized conditioners.
+    spk:  (B,) int32 speaker ids.
+    Returns (float32 audio (B, num_frames*lookback), int32 sample levels).
+    """
+    top = cfg.n_tiers - 1
+    tier = params["tiers"][top]
+    nfs_top = cfg.ns_frame_samples[top]
+    fused = fused_embed_conv(params["mlp"])
+    below = _make_level(params, cfg, top - 1, fused) if top > 0 else None
+
+    def frame_step(spk_vec, carry, cond_j):
+        buf, hs, key = carry
+        prev = 2.0 * dequantize(cfg, buf[:, -nfs_top:])
+        x = dense_apply(tier["input_expand"], prev)
+        c, _latent = conditioner_apply(tier["conditioner"], cfg,
+                                       cond_j[:, None, :])
+        x = x + c[:, 0, :] + spk_vec
+        y, h_new = gru_cell(tier["gru"], x, hs[top])
+        hs = tuple(h_new if i == top else h for i, h in enumerate(hs))
+        slots = upsample_step(tier["upsample"], y)        # (B, fs_top, dim)
+        if below is not None:
+            step = below
+        else:
+            def step(carry2, slot):
+                buf2, hs2, key2 = carry2
+                key2, sub = jax.random.split(key2)
+                s = _mlp_sample(params, fused, buf2, slot, sub)
+                buf2 = jnp.concatenate([buf2[:, 1:], s[:, None]], axis=1)
+                return (buf2, hs2, key2), s
+        (buf, hs, key), ys = jax.lax.scan(
+            step, (buf, hs, key), jnp.swapaxes(slots, 0, 1))
+        samples = jnp.moveaxis(ys, 0, 1).reshape(ys.shape[1], nfs_top)
+        return (buf, hs, key), samples
+
+    @jax.jit
+    def generate(cond, spk, key):
+        batch = cond.shape[0]
+        spk_embed = tier["spk_embedding"][spk]
+        spk_vec = dense_apply(tier["spk_expand"], spk_embed)
+        # seed lookback samples of q_zero (ref model.py:459)
+        buf = jnp.full((batch, cfg.lookback), q_zero(cfg.q_levels),
+                       jnp.int32)
+        # fresh hidden = learned h0 (reset semantics, ref model.py:451)
+        hs = tuple(
+            jnp.broadcast_to(p_t["h0"][:, None, :],
+                             (cfg.n_rnn, batch, cfg.dim))
+            for p_t in params["tiers"])
+        carry = (buf, hs, key)
+        cond_t = jnp.swapaxes(cond, 0, 1)                 # (frames, B, C)
+        carry, frames = jax.lax.scan(partial(frame_step, spk_vec), carry,
+                                     cond_t)
+        seq = jnp.moveaxis(frames, 0, 1).reshape(batch, -1)
+        return dequantize(cfg, seq), seq
+
+    return generate

@@ -1,0 +1,121 @@
+"""Generation: the nested-scan generator must be distribution-identical to
+the training predictor (teacher-forcing equivalence — the strongest internal
+consistency gate), plus sampling-path sanity and WAV output."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msnv_tpu.config import ModelConfig
+from msnv_tpu.models.generate import (fused_embed_conv, generate_fn,
+                                      teacher_forced_log_probs)
+from msnv_tpu.models.samplernn import (init_params, init_tier_state,
+                                       predictor_apply, sample_mlp_forward)
+from msnv_tpu.ops.quantize import q_zero
+
+
+def setup(cfg, batch=2, frames=3, seed=0):
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    rng = np.random.RandomState(seed)
+    cond = jnp.asarray(rng.rand(batch, frames, cfg.effective_cond_dim),
+                       jnp.float32)
+    spk = jnp.asarray(rng.randint(0, cfg.spk_dim, (batch,)), jnp.int32)
+    return params, cond, spk
+
+
+@pytest.mark.parametrize("frame_sizes,n_rnn", [((4, 4), 1), ((20, 4), 2),
+                                               ((4, 5, 4), 1)])
+def test_teacher_forcing_matches_predictor(frame_sizes, n_rnn):
+    cfg = ModelConfig(frame_sizes=frame_sizes, n_rnn=n_rnn, dim=24,
+                      cond_dim=5, spk_dim=3)
+    batch, frames = 2, 3
+    params, cond, spk = setup(cfg, batch, frames)
+    T = frames * cfg.lookback
+
+    rng = np.random.RandomState(1)
+    forced = jnp.asarray(rng.randint(0, cfg.q_levels, (batch, T)), jnp.int32)
+
+    # generation machinery, teacher-forced
+    tf = teacher_forced_log_probs(params, cfg)
+    lp_gen = tf(cond, spk, forced)
+
+    # predictor on [q_zero seed ‖ forced]
+    seed_buf = jnp.full((batch, cfg.lookback), q_zero(cfg.q_levels),
+                        jnp.int32)
+    full = jnp.concatenate([seed_buf, forced], axis=1)
+    lp_pred, _, _ = predictor_apply(params, cfg, full[:, :-1],
+                                    jnp.asarray(True), cond, spk,
+                                    init_tier_state(cfg, batch))
+
+    np.testing.assert_allclose(np.asarray(lp_gen), np.asarray(lp_pred),
+                               atol=3e-5)
+
+
+def test_fused_table_equals_embed_conv():
+    cfg = ModelConfig(frame_sizes=(4, 4), dim=16, cond_dim=3, spk_dim=1)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    fs0 = cfg.frame_sizes[0]
+    rng = np.random.RandomState(0)
+    samples = jnp.asarray(rng.randint(0, 256, (2, fs0)), jnp.int32)
+    upper = jnp.zeros((2, 1, cfg.dim))
+    # full-chunk path on a single window
+    lp = sample_mlp_forward(params["mlp"], cfg, samples, upper)
+    # fused-gather path
+    T = fused_embed_conv(params["mlp"])
+    x = jnp.zeros((2, cfg.dim))
+    for p in range(fs0):
+        x = x + T[p][samples[:, p]]
+    x = jax.nn.relu(x)
+    from msnv_tpu.ops.linear import dense_apply
+    x = jax.nn.relu(dense_apply(params["mlp"]["hidden"], x))
+    logits = dense_apply(params["mlp"]["out"], x)
+    lp2 = jax.nn.log_softmax(logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(lp[:, 0]), np.asarray(lp2),
+                               atol=2e-5)
+
+
+def test_generate_shapes_and_sanity():
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=24, cond_dim=5,
+                      spk_dim=2)
+    params, cond, spk = setup(cfg, batch=3, frames=4)
+    gen = generate_fn(params, cfg)
+    audio, seq = gen(cond, spk, jax.random.PRNGKey(42))
+    T = 4 * cfg.lookback
+    assert audio.shape == (3, T)
+    assert seq.shape == (3, T)
+    s = np.asarray(seq)
+    assert s.min() >= 0 and s.max() < cfg.q_levels
+    a = np.asarray(audio)
+    assert np.isfinite(a).all()
+    assert np.abs(a).max() <= 1.0
+    # different keys -> different sample paths
+    audio2, seq2 = gen(cond, spk, jax.random.PRNGKey(7))
+    assert not np.array_equal(np.asarray(seq2), s)
+    # same key -> deterministic
+    audio3, seq3 = gen(cond, spk, jax.random.PRNGKey(42))
+    np.testing.assert_array_equal(np.asarray(seq3), s)
+
+
+def test_generate_output_length_ignores_sample_length_quirk():
+    # parity with ref model.py:455: output length is num_cond_frames*lookback
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=3,
+                      spk_dim=1)
+    params, cond, spk = setup(cfg, batch=1, frames=5)
+    gen = generate_fn(params, cfg)
+    audio, _ = gen(cond, spk, jax.random.PRNGKey(0))
+    assert audio.shape[1] == 5 * cfg.lookback
+
+
+def test_generate_wav_roundtrip(tmp_path):
+    from msnv_tpu.data.wavio import write_wav, read_wav
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=3,
+                      spk_dim=1)
+    params, cond, spk = setup(cfg, batch=1, frames=2)
+    gen = generate_fn(params, cfg)
+    audio, _ = gen(cond, spk, jax.random.PRNGKey(0))
+    p = str(tmp_path / "gen.wav")
+    write_wav(p, np.asarray(audio[0]), 16000)
+    back, sr = read_wav(p)
+    assert sr == 16000 and back.shape[0] == audio.shape[1]
