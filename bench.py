@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark: flagship-model throughput on the current accelerator.
+
+Primary metric (BASELINE.json north star): generated audio-seconds per
+second per chip at the canonical samplernn config (frame_sizes (20,4),
+n_rnn 2, dim 1024, look-ahead cond 86, 6 speakers), batched multi-utterance
+generation. Secondary: training samples/s on (128, 1040) TBPTT chunks.
+
+vs_baseline compares against reference_baseline.json — the measured
+throughput of the ACTUAL reference code (torch, this machine's CPU; the
+reference published no perf numbers and its GPU is not available here —
+see scripts/measure_reference_baseline.py).
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from msnv_tpu.config import preset
+    from msnv_tpu.models.generate import generate_fn
+    from msnv_tpu.models.samplernn import init_params, init_tier_state
+    from msnv_tpu.training.optim import make_optimizer
+    from msnv_tpu.training.step import make_train_step
+
+    platform = jax.devices()[0].platform
+    device_kind = jax.devices()[0].device_kind
+
+    cfg = preset("samplernn")
+    m = cfg.model
+    key = jax.random.PRNGKey(0)
+    params = init_params(key, m)
+
+    # ---- generation throughput ------------------------------------------
+    gen_batch = int(os.environ.get("BENCH_GEN_BATCH", "64"))
+    frames = int(os.environ.get("BENCH_GEN_FRAMES", "100"))  # 0.5 s/utt
+    rng = np.random.RandomState(0)
+    cond = jnp.asarray(rng.rand(gen_batch, frames, m.effective_cond_dim),
+                       jnp.float32)
+    spk = jnp.asarray(rng.randint(0, m.spk_dim, (gen_batch,)), jnp.int32)
+    gen = generate_fn(params, m)
+
+    audio, _ = gen(cond, spk, jax.random.PRNGKey(1))   # compile + warmup
+    audio.block_until_ready()
+    t0 = time.perf_counter()
+    runs = 3
+    for i in range(runs):
+        audio, _ = gen(cond, spk, jax.random.PRNGKey(2 + i))
+    audio.block_until_ready()
+    gen_dt = (time.perf_counter() - t0) / runs
+    audio_seconds = gen_batch * frames * m.lookback / 16000.0
+    gen_tput = audio_seconds / gen_dt
+    samples_per_s = gen_batch * frames * m.lookback / gen_dt
+
+    # ---- training throughput --------------------------------------------
+    train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "128"))
+    seq_len = cfg.train.seq_len
+    optimizer = make_optimizer(cfg.train)
+    opt_state = optimizer.init(params)
+    state = init_tier_state(m, train_batch)
+    data = jnp.asarray(rng.randint(0, 256, (train_batch,
+                                            seq_len + m.lookback - 1)),
+                       jnp.int32)
+    target = jnp.asarray(rng.randint(0, 256, (train_batch, seq_len)),
+                         jnp.int32)
+    tcond = jnp.asarray(rng.rand(train_batch, seq_len // m.lookback,
+                                 m.effective_cond_dim), jnp.float32)
+    tspk = jnp.asarray(rng.randint(0, m.spk_dim, (train_batch,)), jnp.int32)
+    step = make_train_step(m, optimizer, donate=False)
+    out = step(params, opt_state, state, data, jnp.asarray(True), target,
+               tcond, tspk)
+    out[3].block_until_ready()
+    t0 = time.perf_counter()
+    truns = 5
+    for i in range(truns):
+        out = step(params, opt_state, state, data, jnp.asarray(False),
+                   target, tcond, tspk)
+    out[3].block_until_ready()
+    train_dt = (time.perf_counter() - t0) / truns
+    train_tput = train_batch * seq_len / train_dt
+
+    # ---- vs reference ----------------------------------------------------
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "reference_baseline.json")
+    vs_baseline = None
+    vs_train = None
+    if os.path.isfile(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        vs_baseline = gen_tput / base["generation"]["audio_s_per_s"]
+        vs_train = train_tput / base["training"]["samples_per_s"]
+
+    result = {
+        "metric": "generation_audio_seconds_per_s_per_chip",
+        "value": round(gen_tput, 3),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
+        "extras": {
+            "platform": platform,
+            "device": device_kind,
+            "gen_samples_per_s": round(samples_per_s),
+            "gen_batch": gen_batch,
+            "gen_wall_s": round(gen_dt, 3),
+            "train_samples_per_s": round(train_tput),
+            "train_step_wall_s": round(train_dt, 4),
+            "train_vs_baseline": round(vs_train, 1) if vs_train else None,
+            "baseline_hw": "reference torch-CPU (see reference_baseline.json)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

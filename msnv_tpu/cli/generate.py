@@ -1,0 +1,140 @@
+"""Generation CLI — batch offline synthesis (ref generate.py:87-253).
+
+Usage:
+  python -m msnv_tpu.cli.generate --model results/<tag>/checkpoints/best-ep...-it....npz \
+      --cond_path <dir> --cond_list generate_cond.list --spk_list generate_spk.list \
+      --out_dir <dir>
+
+Capability parity with the reference:
+- the model architecture is re-hydrated from the experiment tag embedded in
+  the checkpoint path (ref generate.py:126-129)
+- conditioners are loaded from Ahocoder .cc/.lf0/.gv files, interpolated over
+  unvoiced runs, and normalized with the SAVED training min/max
+  (ref generate.py:158-190)
+- look-ahead doubling is applied inline when the model was trained with it
+  (ref generate.py:193-197)
+- output WAVs are named <ckpt>_file-<utt>_spk-<id>.wav (ref generate.py:98-112)
+
+TPU-first deviation: all utterances in the list are generated in ONE batched
+jitted call (cond padded to the longest utterance, outputs trimmed), instead
+of rebuilding the model per file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def load_cond_utterance(cond_path: str, name: str):
+    """Load + interpolate one utterance's conditioners (43 dims, un-normalized).
+
+    Mirrors ref generate.py:158-171 (same file formats as the training
+    corpus build).
+    """
+    from msnv_tpu.data.corpus import F0_UNVOICED, GV_UNVOICED
+    from msnv_tpu.ops.interpolate import interpolation
+
+    c = np.loadtxt(os.path.join(cond_path, name + ".cc"))
+    c = c.reshape(-1, c.shape[-1])
+    f0, _ = interpolation(np.loadtxt(os.path.join(cond_path, name + ".lf0")),
+                          F0_UNVOICED)
+    fv, uv = interpolation(np.loadtxt(os.path.join(cond_path, name + ".gv")),
+                           GV_UNVOICED)
+    n = min(c.shape[0], len(f0), len(fv))
+    return np.concatenate([
+        c[:n], np.asarray(f0)[:n, None], np.asarray(fv)[:n, None],
+        np.asarray(uv)[:n, None].astype(np.float64)], axis=1)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    from msnv_tpu.config import parse_tag
+    from msnv_tpu.data.corpus import normalize_cond
+    from msnv_tpu.data.wavio import write_wav
+    from msnv_tpu.models.generate import generate_fn
+    from msnv_tpu.models.samplernn import init_params
+    from msnv_tpu.training.checkpoint import load_checkpoint
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True, help="checkpoint .npz path")
+    p.add_argument("--cond_path", required=True)
+    p.add_argument("--cond_list", required=True,
+                   help="file listing utterance names")
+    p.add_argument("--spk_list", required=True,
+                   help="file listing speaker indices, one per utterance")
+    p.add_argument("--min_max", default=None,
+                   help="saved training min_max npy (defaults to "
+                        "npy_datasets/min_max_{ind|joint}.npy next to cwd)")
+    p.add_argument("--norm_ind", action="store_true")
+    p.add_argument("--out_dir", default=None)
+    p.add_argument("--seed", type=int, default=77977)
+    args = p.parse_args(argv)
+
+    # re-hydrate config from the tag in the checkpoint path
+    tag = os.path.basename(os.path.dirname(os.path.dirname(
+        os.path.abspath(args.model))))
+    cfg = parse_tag(tag)
+    m = cfg.model
+    print("config from tag:", tag)
+
+    with open(args.cond_list) as f:
+        utts = f.read().split()
+    with open(args.spk_list) as f:
+        spks = [int(s) for s in f.read().split()]
+    assert len(utts) == len(spks), "cond/spk list length mismatch"
+
+    mm_path = args.min_max or os.path.join(
+        "npy_datasets",
+        "min_max_ind.npy" if args.norm_ind else "min_max_joint.npy")
+    mm = np.load(mm_path)
+    min_cond, max_cond = mm[0], mm[1]
+
+    conds = []
+    for name, spk in zip(utts, spks):
+        cond = load_cond_utterance(args.cond_path, name)
+        cond = normalize_cond(cond, min_cond, max_cond,
+                              speaker=spk, norm_ind=args.norm_ind)
+        if m.look_ahead:
+            delayed = np.copy(cond)
+            delayed[:-1] = delayed[1:]
+            cond = np.concatenate([cond, delayed], axis=1)
+        conds.append(cond.astype(np.float32))
+
+    # batch: pad to longest utterance, trim after generation
+    lengths = [c.shape[0] for c in conds]
+    max_frames = max(lengths)
+    batch = np.zeros((len(conds), max_frames, m.effective_cond_dim),
+                     np.float32)
+    for i, c in enumerate(conds):
+        batch[i, :c.shape[0]] = c
+        batch[i, c.shape[0]:] = c[-1]  # hold last frame through padding
+
+    # rebuild model + load weights (template from a fresh init)
+    params = init_params(jax.random.PRNGKey(0), m)
+    state, meta = load_checkpoint(args.model, {"params": params})
+    params = state["params"] if "params" in state else state
+
+    gen = generate_fn(params, m)
+    audio, _ = gen(jnp.asarray(batch),
+                   jnp.asarray(np.asarray(spks), jnp.int32),
+                   jax.random.PRNGKey(args.seed))
+    audio = np.asarray(audio)
+
+    out_dir = args.out_dir or os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(args.model))), "samples")
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt_name = os.path.basename(args.model).replace(".npz", "")
+    for i, (name, spk) in enumerate(zip(utts, spks)):
+        wav = audio[i, : lengths[i] * m.lookback]
+        out = os.path.join(out_dir,
+                           f"{ckpt_name}_file-{name}_spk-{spk}.wav")
+        write_wav(out, wav, 16000)
+        print("wrote", out, f"({wav.shape[0] / 16000.0:.2f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,10 +34,21 @@ _LAST_RE = re.compile(r"^ep(\d+)-it(\d+)\.npz$")
 _BEST_RE = re.compile(r"^best-ep(\d+)-it(\d+)\.npz$")
 
 
+def _path_key(path) -> str:
+    return jax.tree_util.keystr(path)
+
+
 def save_checkpoint(path: str, state, meta: dict | None = None) -> None:
-    """Save a pytree `state` (+ JSON-serializable `meta`) to `path`."""
-    leaves = jax.tree_util.tree_leaves(state)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    """Save a pytree `state` (+ JSON-serializable `meta`) to `path`.
+
+    Leaves are stored under their pytree path strings, so loading with a
+    partial template (e.g. only {"params": ...}) works — generate.py needs
+    just the model weights out of a full training checkpoint.
+    """
+    flat, _ = jax.tree_util.tree_flatten_with_path(state)
+    arrays = {}
+    for p, x in flat:
+        arrays["leaf:" + _path_key(p)] = np.asarray(x)
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta or {}).encode(), dtype=np.uint8)
     buf = io.BytesIO()
@@ -49,17 +60,25 @@ def save_checkpoint(path: str, state, meta: dict | None = None) -> None:
 
 
 def load_checkpoint(path: str, template):
-    """Load into the structure of `template`; returns (state, meta)."""
+    """Load into the structure of `template`; returns (state, meta).
+
+    Every template path must exist in the checkpoint (KeyError names the
+    missing path otherwise); extra checkpoint entries are ignored.
+    """
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"].tobytes()).decode() or "{}")
-        treedef = jax.tree_util.tree_structure(template)
-        t_leaves = jax.tree_util.tree_leaves(template)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template)
         leaves = []
-        for i, t in enumerate(t_leaves):
-            arr = z[f"leaf_{i}"]
+        for p, t in flat:
+            key = "leaf:" + _path_key(p)
+            if key not in z:
+                raise KeyError(f"checkpoint {path} has no entry {key}")
+            arr = z[key]
             if hasattr(t, "dtype"):
                 arr = arr.astype(t.dtype)
-            leaves.append(arr)
+            # device arrays, not numpy: loaded params feed jitted fns and
+            # may be indexed by tracers
+            leaves.append(jax.numpy.asarray(arr))
         state = jax.tree_util.tree_unflatten(treedef, leaves)
     return state, meta
 

@@ -1,0 +1,101 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh: the sharded train
+step must produce the SAME result as the single-device step (DP/TP
+correctness), and the graft entry points must compile/run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msnv_tpu.config import ModelConfig, TrainConfig
+from msnv_tpu.models.samplernn import init_params, init_tier_state
+from msnv_tpu.parallel.mesh import make_mesh, param_sharding
+from msnv_tpu.training.optim import make_optimizer
+from msnv_tpu.training.step import make_train_step
+
+
+def tiny_problem(batch):
+    m = ModelConfig(frame_sizes=(4, 4), n_rnn=2, dim=64, cond_dim=7,
+                    cond_len=4, spk_dim=3)
+    t = TrainConfig(seq_len=64, batch_size=batch, learning_rate=1e-3)
+    params = init_params(jax.random.PRNGKey(0), m)
+    state = init_tier_state(m, batch)
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randint(0, 256, (batch, 64 + m.lookback - 1)),
+                       jnp.int32)
+    target = jnp.asarray(rng.randint(0, 256, (batch, 64)), jnp.int32)
+    cond = jnp.asarray(rng.rand(batch, 64 // m.lookback, 7), jnp.float32)
+    spk = jnp.asarray(rng.randint(0, 3, (batch,)), jnp.int32)
+    return m, t, params, state, (data, target, cond, spk)
+
+
+def run_steps(mesh, n_steps=2, batch=8):
+    m, t, params, state, (data, target, cond, spk) = tiny_problem(batch)
+    optimizer = make_optimizer(t)
+    opt_state = optimizer.init(params)
+    if mesh is None:
+        step = make_train_step(m, optimizer, mesh=None, donate=False)
+    else:
+        step = make_train_step(m, optimizer, mesh=mesh, donate=False)(
+            params, opt_state, state)
+    losses = []
+    for k in range(n_steps):
+        params, opt_state, state, loss = step(
+            params, opt_state, state, data, jnp.asarray(k == 0), target,
+            cond, spk)
+        losses.append(float(loss))
+    return params, losses
+
+
+def test_requires_8_devices():
+    assert len(jax.devices()) == 8, (
+        "conftest must provide 8 virtual CPU devices")
+
+
+def test_sharded_step_matches_single_device():
+    ref_params, ref_losses = run_steps(None)
+
+    for n_data, n_model in [(8, 1), (4, 2), (2, 4)]:
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        p, losses = run_steps(mesh)
+        np.testing.assert_allclose(losses, ref_losses, atol=1e-4,
+                                   err_msg=f"mesh {n_data}x{n_model}")
+        for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                        jax.tree_util.tree_leaves(p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
+
+
+def test_param_sharding_specs():
+    m = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=64, cond_dim=7,
+                    spk_dim=3)
+    params = init_params(jax.random.PRNGKey(0), m)
+    mesh = make_mesh(n_data=4, n_model=2)
+    shardings = param_sharding(mesh, params)
+    # GRU weights sharded over model axis
+    s = shardings["tiers"][0]["gru"][0]["w_hh"]
+    assert "model" in str(s.spec)
+    # h0 replicated
+    s0 = shardings["tiers"][0]["h0"]
+    assert s0.spec == jax.sharding.PartitionSpec()
+
+
+def test_graft_entry_compiles():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    # dryrun on the full virtual mesh (the driver's own check)
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(4)
+
+
+@pytest.mark.slow
+def test_graft_entry_flagship_forward():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    jitted = jax.jit(fn)
+    loss, _ = jitted(*args)
+    assert np.isfinite(float(loss))
