@@ -1,0 +1,117 @@
+"""samplernn-gan variant: discriminator shapes/behavior, lambda ramp,
+two-optimizer adversarial step including the gradient-reversal sign."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msnv_tpu.config import ModelConfig, TrainConfig
+from msnv_tpu.models.discriminator import (discriminator_apply,
+                                           discriminator_init,
+                                           discriminator_nll)
+from msnv_tpu.models.samplernn import init_params, init_tier_state
+from msnv_tpu.training.gan import lambda_ramp, make_gan_train_step
+from msnv_tpu.training.optim import make_optimizer
+
+
+def small_disc(spk_dim=3, channels=8):
+    return discriminator_init(jax.random.PRNGKey(0), spk_dim,
+                              channels=channels)
+
+
+def test_discriminator_shapes():
+    d = small_disc()
+    latent = jnp.asarray(np.random.RandomState(0).rand(4, 13, 10),
+                         jnp.float32)
+    lp = discriminator_apply(d, latent)
+    assert lp.shape == (4, 3)
+    np.testing.assert_allclose(np.asarray(jnp.exp(lp).sum(-1)), 1.0,
+                               atol=1e-5)
+    spk = jnp.asarray([0, 1, 2, 0], jnp.int32)
+    nll = discriminator_nll(d, latent, spk)
+    assert np.isfinite(float(nll)) and float(nll) > 0
+
+
+def test_discriminator_learns_speaker():
+    # On a trivially separable latent, a few Adam steps lower the NLL.
+    import optax
+    d = small_disc(spk_dim=2, channels=8)
+    rng = np.random.RandomState(0)
+    # class separation must be spatial STRUCTURE (instance norm removes
+    # per-sample mean/gain): vertical vs horizontal stripes
+    v = np.tile((np.arange(10) % 2)[None, None, :], (4, 6, 1)).astype(float)
+    h = np.tile((np.arange(6) % 2)[None, :, None], (4, 1, 10)).astype(float)
+    latent = jnp.asarray(
+        np.concatenate([v, h]) + 0.05 * rng.randn(8, 6, 10), jnp.float32)
+    spk = jnp.asarray([0] * 4 + [1] * 4, jnp.int32)
+    opt = optax.adam(1e-3)
+    st = opt.init(d)
+    loss0 = float(discriminator_nll(d, latent, spk))
+
+    @jax.jit
+    def step(d, st):
+        l, g = jax.value_and_grad(discriminator_nll)(d, latent, spk)
+        up, st = opt.update(g, st, d)
+        return optax.apply_updates(d, up), st, l
+
+    for _ in range(30):
+        d, st, l = step(d, st)
+    assert float(l) < loss0 - 0.1, (loss0, float(l))
+
+
+def test_lambda_ramp():
+    tc = TrainConfig(lambda_weight=(0.0, 0.01, 100.0))
+    assert float(lambda_ramp(tc, 0)) == 0.0
+    np.testing.assert_allclose(float(lambda_ramp(tc, 50)), 0.005)
+    np.testing.assert_allclose(float(lambda_ramp(tc, 100)), 0.01)
+    np.testing.assert_allclose(float(lambda_ramp(tc, 100000)), 0.01)
+
+
+def test_gan_step_runs_and_reverses():
+    m = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=24, cond_dim=7,
+                    cond_len=4, spk_dim=3, variant="gan", ind_cond_dim=6)
+    tc = TrainConfig(seq_len=64, batch_size=4, learning_rate=1e-3,
+                     lambda_weight=(0.0, 0.01, 10.0))
+    params = init_params(jax.random.PRNGKey(0), m)
+    disc = discriminator_init(jax.random.PRNGKey(1), m.spk_dim, channels=8)
+    main_opt = make_optimizer(tc)
+    disc_opt = make_optimizer(tc)
+    mo = main_opt.init(params)
+    do = disc_opt.init(disc)
+    state = init_tier_state(m, 4)
+
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randint(0, 256, (4, 64 + m.lookback - 1)),
+                       jnp.int32)
+    target = jnp.asarray(rng.randint(0, 256, (4, 64)), jnp.int32)
+    cond = jnp.asarray(rng.rand(4, 64 // m.lookback, 7), jnp.float32)
+    spk = jnp.asarray([0, 1, 2, 0], jnp.int32)
+
+    step = make_gan_train_step(m, tc, main_opt, disc_opt)
+    out = step(params, disc, mo, do, state, jnp.asarray(0.0), data,
+               jnp.asarray(True), target, cond, spk)
+    params2, disc2, mo2, do2, state2, metrics = out
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["disc_loss"]))
+    assert float(metrics["lambda"]) == 0.0
+
+    # discriminator params actually moved
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(disc),
+                        jax.tree_util.tree_leaves(disc2)))
+    assert moved
+
+    # at a later step, lambda > 0 and the conditioner gradient includes the
+    # reversal term: conditioner params should update differently than with
+    # lambda == 0
+    out_l0 = step(params, disc, mo, do, state, jnp.asarray(0.0), data,
+                  jnp.asarray(True), target, cond, spk)
+    out_l1 = step(params, disc, mo, do, state, jnp.asarray(1e6), data,
+                  jnp.asarray(True), target, cond, spk)
+    assert np.isclose(float(out_l1[5]["lambda"]), 0.01, rtol=1e-5)
+    c0 = out_l0[0]["tiers"][-1]["conditioner"]["stack"][0]["w"]
+    c1 = out_l1[0]["tiers"][-1]["conditioner"]["stack"][0]["w"]
+    assert not np.allclose(np.asarray(c0), np.asarray(c1))
