@@ -33,6 +33,22 @@ class Trainer:
         self.stats = {}
         self.plugins = []
 
+        self.is_gan = cfg.model.variant == "gan"
+        if self.is_gan:
+            # adversarial variant: discriminator + second optimizer + the
+            # two-loss step (ref run_samplegan.sh; SURVEY.md §2.8)
+            import jax
+            from msnv_tpu.models.discriminator import discriminator_init
+            from msnv_tpu.training.gan import make_gan_train_step
+            self.disc_params = discriminator_init(
+                jax.random.PRNGKey(cfg.train.seed + 1), cfg.model.spk_dim)
+            self.disc_opt = optimizer  # same clipped-Adam recipe
+            self.disc_opt_state = self.disc_opt.init(self.disc_params)
+            self._gan_step = make_gan_train_step(
+                cfg.model, cfg.train, optimizer, self.disc_opt)
+            self._eval = make_eval_step(cfg.model, mesh=None)
+            return
+
         step_builder = make_train_step(cfg.model, optimizer, mesh=mesh)
         eval_builder = make_eval_step(cfg.model, mesh=mesh)
         if mesh is None:
@@ -55,6 +71,20 @@ class Trainer:
     # -- training ---------------------------------------------------------
     def train_chunk(self, chunk):
         """One optimizer step on one TBPTT chunk; returns loss (bits)."""
+        if self.is_gan:
+            (self.params, self.disc_params, self.opt_state,
+             self.disc_opt_state, self.state, metrics) = self._gan_step(
+                self.params, self.disc_params, self.opt_state,
+                self.disc_opt_state, self.state,
+                jnp.asarray(float(self.iterations)),
+                jnp.asarray(chunk.data), jnp.asarray(chunk.reset),
+                jnp.asarray(chunk.target), jnp.asarray(chunk.cond),
+                jnp.asarray(chunk.spk))
+            self.stats.setdefault("disc_loss", {})["last"] = float(
+                metrics["disc_loss"])
+            self.stats.setdefault("lambda", {})["last"] = float(
+                metrics["lambda"])
+            return metrics["loss"]
         self.params, self.opt_state, self.state, loss = self._step(
             self.params, self.opt_state, self.state,
             jnp.asarray(chunk.data), jnp.asarray(chunk.reset),
@@ -95,15 +125,22 @@ class Trainer:
     # -- checkpoint interface ---------------------------------------------
     def checkpoint_state(self):
         """Full resumable state pytree (params + opt + TBPTT hidden)."""
-        return {
+        out = {
             "params": self.params,
             "opt_state": self.opt_state,
             "tier_state": self.state,
         }
+        if self.is_gan:
+            out["disc_params"] = self.disc_params
+            out["disc_opt_state"] = self.disc_opt_state
+        return out
 
     def restore(self, state, meta):
         self.params = state["params"]
         self.opt_state = state["opt_state"]
         self.state = state["tier_state"]
+        if self.is_gan and "disc_params" in state:
+            self.disc_params = state["disc_params"]
+            self.disc_opt_state = state["disc_opt_state"]
         self.epochs = int(meta.get("epoch", 0))
         self.iterations = int(meta.get("iteration", 0))

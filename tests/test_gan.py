@@ -115,3 +115,45 @@ def test_gan_step_runs_and_reverses():
     c0 = out_l0[0]["tiers"][-1]["conditioner"]["stack"][0]["w"]
     c1 = out_l1[0]["tiers"][-1]["conditioner"]["stack"][0]["w"]
     assert not np.allclose(np.asarray(c0), np.asarray(c1))
+
+
+def test_gan_trainer_end_to_end(tmp_path):
+    """Trainer with variant=gan: adversarial step wired in, checkpoint
+    includes discriminator state."""
+    import os
+    from msnv_tpu.config import DataConfig, ExperimentConfig
+    from msnv_tpu.data.corpus import CorpusConfig, build_corpus
+    from msnv_tpu.data.loader import ChunkLoader
+    from msnv_tpu.data.synthetic import make_synthetic_corpus
+    from msnv_tpu.training.trainer import Trainer
+
+    root = str(tmp_path)
+    make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=2,
+                          frames_per_utt=150, cond_len=16)
+    ccfg = CorpusConfig(
+        datasets_path=root, wav_path=os.path.join(root, "wav"),
+        cond_path=os.path.join(root, "cond"), overlap_len=16, seq_len=64,
+        batch_size=4, cond_len=16, norm_ind=False,
+        cache_dir=os.path.join(root, "npy"))
+    corpus = build_corpus(ccfg, "train")
+    loader = ChunkLoader(corpus, 64, 16, 16)
+
+    m = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=24, cond_dim=43,
+                    cond_len=16, spk_dim=2, variant="gan", ind_cond_dim=6)
+    tc = TrainConfig(seq_len=64, batch_size=4, learning_rate=1e-3,
+                     lambda_weight=(0.0, 0.01, 100.0))
+    cfg = ExperimentConfig(exp="gantest", model=m, train=tc)
+    params = init_params(jax.random.PRNGKey(0), m)
+    opt = make_optimizer(tc)
+    # shrink the discriminator for CPU test speed
+    trainer = Trainer(cfg, params, opt, loader)
+    from msnv_tpu.models.discriminator import discriminator_init
+    trainer.disc_params = discriminator_init(jax.random.PRNGKey(9), 2,
+                                             channels=8)
+    trainer.disc_opt_state = trainer.disc_opt.init(trainer.disc_params)
+
+    trainer.run(1)
+    assert trainer.stats["disc_loss"]["last"] > 0
+    assert "lambda" in trainer.stats
+    st = trainer.checkpoint_state()
+    assert "disc_params" in st and "disc_opt_state" in st
