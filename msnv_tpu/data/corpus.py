@@ -95,13 +95,14 @@ def load_utterance(cfg: CorpusConfig, name: str):
     ref dataset.py:83-135. Sync deviation for oversize==60 documented in the
     module docstring.
     """
-    d, _sr = read_wav(os.path.join(cfg.wav_path, name + ".wav"))
-    c = np.loadtxt(os.path.join(cfg.cond_path, name + ".cc"))
+    from msnv_tpu.data import native
+    d, _sr = native.read_wav(os.path.join(cfg.wav_path, name + ".wav"))
+    c = native.loadtxt(os.path.join(cfg.cond_path, name + ".cc"))
     c = c.reshape(-1, c.shape[-1])
-    f0_raw = np.loadtxt(os.path.join(cfg.cond_path, name + ".lf0"))
+    f0_raw = native.loadtxt(os.path.join(cfg.cond_path, name + ".lf0"))
     f0, _ = interpolation(f0_raw, F0_UNVOICED)
     f0 = np.asarray(f0).reshape(-1, 1)
-    gv_raw = np.loadtxt(os.path.join(cfg.cond_path, name + ".gv"))
+    gv_raw = native.loadtxt(os.path.join(cfg.cond_path, name + ".gv"))
     fv, uv = interpolation(gv_raw, GV_UNVOICED)
     fv = np.asarray(fv).reshape(-1, 1)
     uv = np.asarray(uv).reshape(-1, 1)

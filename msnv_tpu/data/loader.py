@@ -56,10 +56,11 @@ class ChunkLoader:
 
         if ulaw:
             # quantize each lane once; identical to per-window quantization
-            # because uquantize is pointwise (ref dataset.py:253-254)
-            self._qdata = np.asarray(
-                uquantize(corpus.data.astype(np.float32), q_levels),
-                dtype=np.int32)
+            # because uquantize is pointwise (ref dataset.py:253-254).
+            # Native C++ path when built, bit-identical python fallback.
+            from msnv_tpu.data import native
+            self._qdata = native.uquantize(
+                corpus.data.astype(np.float32), q_levels)
         else:
             self._qdata = corpus.data.astype(np.int32)
 
