@@ -9,6 +9,13 @@ Weight layout here: (in_dim, r, out_dim); torch's ConvTranspose1d weight is
 (in_channels, out_channels, r) — converters in tests transpose axes 1/2.
 Init: uniform(+-sqrt(6/dim)) on the conv weight (ref model.py:172-174),
 zero bias of shape (r, out_dim) (torch keeps (out, r); we store (r, out)).
+
+Documented deviation: the reference ALWAYS weight-norm-wraps this conv
+regardless of its flag — ref model.py:177 reads `if weight_norm:` where
+`weight_norm` is the imported torch FUNCTION (always truthy), not the
+`w_norm` argument. That is a bug (forward-identical at init, only optimizer
+trajectories differ); here weight norm is applied only when the config asks
+for it. tests/ref_compat.py compensates when copying weights across.
 """
 
 from __future__ import annotations
