@@ -53,11 +53,19 @@ def fused_embed_conv(mlp_params):
     return jnp.einsum("se,peo->pso", emb, w)   # (fs0, q, dim)
 
 
-def _mlp_sample(params, fused_table, buf, slot, key):
-    """One sample: fused-gather MLP + categorical draw.
+def cast_float_tree(tree, dtype):
+    """Cast floating leaves to `dtype` (bf16 generation path); ints kept."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
+def _mlp_logits(params, fused_table, buf, slot):
+    """Pre-softmax logits (f32) for the next sample.
 
     buf: (B, >=fs0) int ring buffer; slot: (B, dim) tier-0 conditioning.
-    Returns sample (B,) int32.
+    Matmuls run in the table/weight dtype (bf16-capable); the final logits
+    accumulate in f32 so the softmax/sampling are precision-stable.
     """
     fs0 = fused_table.shape[0]
     x = slot
@@ -65,12 +73,59 @@ def _mlp_sample(params, fused_table, buf, slot, key):
         x = x + fused_table[p][buf[:, -fs0 + p]]
     x = jax.nn.relu(x)
     x = jax.nn.relu(dense_apply(params["mlp"]["hidden"], x))
-    logits = dense_apply(params["mlp"]["out"], x)
-    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    out = params["mlp"]["out"]
+    from msnv_tpu.ops.linear import dense_weight
+    logits = jnp.einsum("bi,oi->bo", x, dense_weight(out),
+                        preferred_element_type=jnp.float32)
+    return logits + out["b"].astype(jnp.float32)
+
+
+def _mlp_sample(params, fused_table, buf, slot, key):
+    """One sample: fused-gather MLP + categorical draw -> (B,) int32."""
+    log_probs = jax.nn.log_softmax(
+        _mlp_logits(params, fused_table, buf, slot), axis=-1)
     return jax.random.categorical(key, log_probs, axis=-1).astype(jnp.int32)
 
 
-def _make_level(params, cfg: ModelConfig, t: int, fused_table):
+def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
+                           pallas_opts):
+    """(carry, slots (B, fs0, dim)) -> (carry, samples (B, fs0)) via the
+    fused Pallas kernel (msnv_tpu/pallas/sample_kernel.py)."""
+    from msnv_tpu.ops.linear import dense_weight
+    from msnv_tpu.pallas.sample_kernel import gumbel_noise, make_sample_window
+
+    fs0 = cfg.frame_sizes[0]
+    q = cfg.q_levels
+    table = fused_table.reshape(fs0 * q, cfg.dim)
+    wh = dense_weight(params["mlp"]["hidden"]).T
+    bh = params["mlp"]["hidden"]["b"].astype(jnp.float32)[None, :]
+    wo = dense_weight(params["mlp"]["out"]).T.astype(table.dtype)
+    bo = params["mlp"]["out"]["b"].astype(jnp.float32)[None, :]
+
+    interp = pallas_opts.get("interpret", False)
+    tile_b = pallas_opts.get("tile_b", 64)
+    cache = {}
+
+    def run(carry, slots):
+        buf, hs, key = carry
+        batch = slots.shape[0]
+        if batch not in cache:
+            cache[batch] = make_sample_window(
+                fs0, q, cfg.dim, batch, tile_b=tile_b, interpret=interp)
+        key, sub = jax.random.split(key)
+        noise = gumbel_noise(sub, (fs0, batch, q))
+        samples = cache[batch](
+            table, wh.astype(table.dtype), bh, wo, bo,
+            jnp.swapaxes(slots, 0, 1).astype(table.dtype),
+            buf[:, -fs0:], noise)
+        buf = jnp.concatenate([buf[:, fs0:], samples], axis=1)
+        return (buf, hs, key), samples
+
+    return run
+
+
+def _make_level(params, cfg: ModelConfig, t: int, fused_table,
+                pallas_opts=None):
     """Scan-step fn for tier t: (carry, upper_slot) -> (carry, (B, nfs[t])).
 
     carry = (buf (B, lookback) int32, hs tuple of (n_rnn, B, dim), key).
@@ -79,7 +134,12 @@ def _make_level(params, cfg: ModelConfig, t: int, fused_table):
     tier = params["tiers"][t]
     nfs = cfg.ns_frame_samples[t]
 
+    window_sampler = None
     if t == 0:
+        if pallas_opts is not None:
+            window_sampler = _pallas_window_sampler(params, cfg, fused_table,
+                                                    pallas_opts)
+
         def sample_step(carry, slot):
             buf, hs, key = carry
             key, sub = jax.random.split(key)
@@ -87,15 +147,21 @@ def _make_level(params, cfg: ModelConfig, t: int, fused_table):
             buf = jnp.concatenate([buf[:, 1:], s[:, None]], axis=1)
             return (buf, hs, key), s
     else:
-        sample_step = _make_level(params, cfg, t - 1, fused_table)
+        sample_step = _make_level(params, cfg, t - 1, fused_table,
+                                  pallas_opts)
+
+    wdtype = tier["input_expand"]["w"].dtype
 
     def level_step(carry, upper_slot):
         buf, hs, key = carry
-        prev = 2.0 * dequantize(cfg, buf[:, -nfs:])       # (B, nfs)
+        prev = (2.0 * dequantize(cfg, buf[:, -nfs:])).astype(wdtype)
         x = dense_apply(tier["input_expand"], prev) + upper_slot
         y, h_new = gru_cell(tier["gru"], x, hs[t])
         hs = tuple(h_new if i == t else h for i, h in enumerate(hs))
         slots = upsample_step(tier["upsample"], y)        # (B, fs, dim)
+        if window_sampler is not None:
+            (buf, hs, key), samples = window_sampler((buf, hs, key), slots)
+            return (buf, hs, key), samples
         (buf, hs, key), ys = jax.lax.scan(
             sample_step, (buf, hs, key), jnp.swapaxes(slots, 0, 1))
         # ys: (fs, B) for t==0 else (fs, B, nfs[t-1])
@@ -107,14 +173,8 @@ def _make_level(params, cfg: ModelConfig, t: int, fused_table):
 
 def _mlp_log_probs(params, fused_table, buf, slot):
     """Log-probs for the next sample given the ring buffer and tier-0 slot."""
-    fs0 = fused_table.shape[0]
-    x = slot
-    for p in range(fs0):
-        x = x + fused_table[p][buf[:, -fs0 + p]]
-    x = jax.nn.relu(x)
-    x = jax.nn.relu(dense_apply(params["mlp"]["hidden"], x))
-    logits = dense_apply(params["mlp"]["out"], x)
-    return jax.nn.log_softmax(logits, axis=-1)
+    return jax.nn.log_softmax(
+        _mlp_logits(params, fused_table, buf, slot), axis=-1)
 
 
 def _make_level_forced(params, cfg: ModelConfig, t: int, fused_table):
@@ -222,25 +282,42 @@ def teacher_forced_log_probs(params, cfg: ModelConfig):
     return run
 
 
-def generate_fn(params, cfg: ModelConfig):
+def generate_fn(params, cfg: ModelConfig, compute_dtype=None,
+                use_pallas=False, pallas_opts=None):
     """Build a jitted generate(cond, spk, key) -> (audio, sequences).
 
     cond: (B, num_frames, effective_cond_dim) normalized conditioners.
     spk:  (B,) int32 speaker ids.
+    compute_dtype: cast float params (and activations) once, e.g.
+      jnp.bfloat16 for the production TPU path — matmuls run bf16, the final
+      logits/softmax/sampling stay f32.
+    use_pallas: fuse the sample-level inner loop into the Pallas window
+      kernel (TPU; pallas_opts={"interpret": True} runs it on CPU for
+      tests). Requires n_tiers >= 2. Sampling uses the kernel PRNG (same
+      distribution, different stream than the XLA path).
     Returns (float32 audio (B, num_frames*lookback), int32 sample levels).
     """
+    if compute_dtype is not None:
+        params = cast_float_tree(params, compute_dtype)
+    if use_pallas:
+        assert cfg.n_tiers >= 2, "pallas path needs a frame tier above MLP"
+        pallas_opts = dict(pallas_opts or {})
+    else:
+        pallas_opts = None
     top = cfg.n_tiers - 1
     tier = params["tiers"][top]
     nfs_top = cfg.ns_frame_samples[top]
     fused = fused_embed_conv(params["mlp"])
-    below = _make_level(params, cfg, top - 1, fused) if top > 0 else None
+    below = (_make_level(params, cfg, top - 1, fused, pallas_opts)
+             if top > 0 else None)
+    wdtype = tier["input_expand"]["w"].dtype
 
     def frame_step(spk_vec, carry, cond_j):
         buf, hs, key = carry
-        prev = 2.0 * dequantize(cfg, buf[:, -nfs_top:])
+        prev = (2.0 * dequantize(cfg, buf[:, -nfs_top:])).astype(wdtype)
         x = dense_apply(tier["input_expand"], prev)
         c, _latent = conditioner_apply(tier["conditioner"], cfg,
-                                       cond_j[:, None, :])
+                                       cond_j[:, None, :].astype(wdtype))
         x = x + c[:, 0, :] + spk_vec
         y, h_new = gru_cell(tier["gru"], x, hs[top])
         hs = tuple(h_new if i == top else h for i, h in enumerate(hs))

@@ -1,0 +1,120 @@
+"""Pallas TPU kernel: the fused sample-level generation inner loop.
+
+Replaces the XLA scan over the bottom tier's `fs0` upsample slots (one
+sample each) with ONE kernel invocation that generates all `fs0` samples
+while every weight stays resident in VMEM:
+
+  per sample k in [0, fs0):
+    onehot(window) @ fused_table  (MXU, bf16)   # embed+conv collapsed
+    -> relu -> @W_hidden -> relu  (MXU)
+    -> @W_out -> f32 logits       (MXU)
+    -> Gumbel-max draw            (VPU)
+    -> shift window
+
+Why it wins: the XLA scan pays ~30-40 us/sample of per-step overhead and
+re-reads the 10-20 MB fused table from HBM every sample; here the table,
+hidden and output weights are DMA'd once per fs0-sample window and the
+whole loop runs on-core. The grid is tiled over the batch; weight blocks
+use constant index maps so Mosaic fetches them once per call.
+
+Sampling: Gumbel-max over the f32 logits with noise PRECOMPUTED outside the
+kernel (one (fs0, B, q) array per window) — deterministic per PRNG key,
+identical on TPU and in CPU interpret mode, and argmax(logits + gumbel) is
+exactly a categorical draw. The XLA path's jax.random.categorical is the
+same distribution from a different stream.
+
+Carry trick: after fs0 steps the sliding window buffer CONTAINS exactly the
+fs0 samples generated this window, so the final buffer is the only output.
+
+Semantics: identical MLP math to models/generate._mlp_logits (bf16 matmuls,
+f32 logits) — tests/test_pallas_kernel.py pins kernel samples == XLA-path
+samples under sharpened (argmax-dominant) outputs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _window_kernel(fs0, q, dim, tile_b, table_ref, wh_ref, bh_ref,
+                   wo_ref, bo_ref, slots_ref, buf_ref, noise_ref, out_ref):
+    """One grid program: fs0 samples for a tile of `tile_b` lanes."""
+
+    def body(k, buf):
+        # one-hot of the sliding window: (TB, fs0, q) -> (TB, fs0*q)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (tile_b, fs0, q), 2)
+        onehot = (idx == buf[:, :, None]).astype(table_ref.dtype)
+        onehot = onehot.reshape(tile_b, fs0 * q)
+        x = jnp.dot(onehot, table_ref[:, :],
+                    preferred_element_type=jnp.float32)
+        x = x + slots_ref[k, :, :].astype(jnp.float32)
+        x = jnp.maximum(x, 0.0).astype(table_ref.dtype)
+        h = jnp.dot(x, wh_ref[:, :], preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + bh_ref[0, :], 0.0).astype(table_ref.dtype)
+        logits = jnp.dot(h, wo_ref[:, :],
+                         preferred_element_type=jnp.float32)
+        logits = logits + bo_ref[0, :]
+
+        # Gumbel-max categorical draw with precomputed noise
+        s = jnp.argmax(logits + noise_ref[k, :, :], axis=-1)
+        s = s.astype(jnp.int32)
+
+        # slide the window
+        return jnp.concatenate([buf[:, 1:], s[:, None]], axis=1)
+
+    final = jax.lax.fori_loop(0, fs0, body, buf_ref[:, :])
+    # final window == the fs0 samples generated in order
+    out_ref[:, :] = final
+
+
+def make_sample_window(fs0: int, q: int, dim: int, batch: int,
+                       tile_b: int = 64, interpret: bool = False):
+    """Build sample_window(table, w_h, b_h, w_o, b_o, slots, buf, noise).
+
+    table: (fs0*q, dim) — fused embed+conv, position-major
+           (reshape of models/generate.fused_embed_conv's (fs0, q, dim)).
+    w_h: (dim, dim), b_h: (1, dim) f32, w_o: (dim, q), b_o: (1, q) f32.
+    slots: (fs0, batch, dim) bottom-tier upsampled conditioning.
+    buf: (batch, fs0) int32 — the last fs0 samples.
+    noise: (fs0, batch, q) f32 Gumbel noise.
+    Returns samples (batch, fs0) int32.
+    """
+    tile_b = min(tile_b, batch)
+    assert batch % tile_b == 0, (batch, tile_b)
+    grid = (batch // tile_b,)
+
+    kernel = functools.partial(_window_kernel, fs0, q, dim, tile_b)
+    const = lambda i: (0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((fs0 * q, dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, q), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((fs0, tile_b, dim), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, fs0), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fs0, tile_b, q), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, fs0), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, fs0), jnp.int32),
+        interpret=interpret,
+    )
+
+
+def gumbel_noise(key, shape):
+    """Gumbel(0,1) noise; argmax(logits + noise) == categorical(logits)."""
+    u = jax.random.uniform(key, shape, jnp.float32,
+                           minval=1e-20, maxval=1.0)
+    return -jnp.log(-jnp.log(u))
