@@ -339,7 +339,15 @@ def generate_fn(params, cfg: ModelConfig, compute_dtype=None,
     @jax.jit
     def generate(cond, spk, key):
         batch = cond.shape[0]
-        spk_embed = tier["spk_embedding"][spk]
+        if jnp.issubdtype(spk.dtype, jnp.integer):
+            spk_embed = tier["spk_embedding"][spk]
+        else:
+            # eigen-voice / speaker interpolation (thesis §3.3): float spk of
+            # shape (B, spk_dim) mixes speaker embeddings — new voices from
+            # convex combinations of trained speakers
+            spk_embed = jnp.einsum(
+                "bs,se->be", spk.astype(tier["spk_embedding"].dtype),
+                tier["spk_embedding"])
         spk_vec = dense_apply(tier["spk_expand"], spk_embed)
         # seed lookback samples of q_zero (ref model.py:459)
         buf = jnp.full((batch, cfg.lookback), q_zero(cfg.q_levels),

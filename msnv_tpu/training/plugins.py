@@ -150,6 +150,76 @@ class Logger(Plugin):
             print(f"epoch {epoch_index}\t{self._line()}", flush=True)
 
 
+class GeneratorPlugin(Plugin):
+    """Per-epoch sample synthesis into results/samples.
+
+    The reference defines this but never registers it, and its signature is
+    incompatible with the conditioned Generator (ref plugins.py:158-181,
+    SURVEY.md §2.7) — here it actually works: generates `n_samples`
+    utterances from fixed conditioners each epoch.
+    """
+
+    def __init__(self, samples_path, cond, spk, sample_rate=16000,
+                 every=1, compute_dtype=None):
+        self.samples_path = samples_path
+        self.cond = cond          # (n, frames, cond_dim_eff)
+        self.spk = spk            # (n,) int32
+        self.sample_rate = sample_rate
+        self.every = every
+        self.compute_dtype = compute_dtype
+        self._gen = None
+
+    def epoch(self, epoch_index: int):
+        if epoch_index % self.every:
+            return
+        import jax
+        import jax.numpy as jnp
+        from msnv_tpu.data.wavio import write_wav
+        from msnv_tpu.models.generate import generate_fn
+        t = self.trainer
+        # params change every epoch: rebuild the closure (weights are baked
+        # into the jitted fn); compile cache keys on shapes so this is a
+        # retrace, not a recompile of XLA-level programs from scratch
+        gen = generate_fn(t.params, t.cfg.model,
+                          compute_dtype=self.compute_dtype)
+        audio, _ = gen(jnp.asarray(self.cond), jnp.asarray(self.spk),
+                       jax.random.PRNGKey(epoch_index))
+        audio = np.asarray(audio)
+        os.makedirs(self.samples_path, exist_ok=True)
+        for i in range(audio.shape[0]):
+            write_wav(os.path.join(
+                self.samples_path,
+                f"ep{epoch_index}-s{int(np.asarray(self.spk)[i])}-{i}.wav"),
+                audio[i], self.sample_rate)
+
+
+class TensorBoardPlugin(Plugin):
+    """Scalar logging to tensorboardX (ref train.py:263 SummaryWriter)."""
+
+    def __init__(self, log_dir, fields=("training_loss", "validation_loss",
+                                        "test_loss")):
+        self.fields = fields
+        try:
+            from tensorboardX import SummaryWriter
+            self.writer = SummaryWriter(log_dir=log_dir)
+        except Exception:
+            self.writer = None
+
+    def iteration(self, loss: float):
+        if self.writer is not None:
+            self.writer.add_scalar("training_loss", loss,
+                                   self.trainer.iterations)
+
+    def epoch(self, epoch_index: int):
+        if self.writer is None:
+            return
+        for f in self.fields:
+            v = self.trainer.stats.get(f, {}).get("last")
+            if v is not None:
+                self.writer.add_scalar(f"epoch/{f}", v, epoch_index)
+        self.writer.flush()
+
+
 class StatsPlugin(Plugin):
     """Persist stats history to stats.json + render loss curves to loss.svg
     (ref plugins.py:184-283; json instead of pickle)."""

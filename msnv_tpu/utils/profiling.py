@@ -1,0 +1,61 @@
+"""Profiling hooks — the reference has none (SURVEY.md §5.1: wall-clock
+only); here: jax.profiler traces + a simple step timer for roofline checks.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a jax.profiler trace (view with TensorBoard or xprof)."""
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Wall-clock step statistics with warmup discard."""
+
+    def __init__(self, warmup: int = 1):
+        self.warmup = warmup
+        self.times = []
+        self._n = 0
+        self._t0 = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.perf_counter() - self._t0
+        self._n += 1
+        if self._n > self.warmup:
+            self.times.append(dt)
+
+    def summary(self):
+        if not self.times:
+            return {}
+        a = np.asarray(self.times)
+        return {"mean_s": float(a.mean()), "p50_s": float(np.median(a)),
+                "p95_s": float(np.percentile(a, 95)), "n": len(a)}
+
+
+def roofline(flops: float, bytes_moved: float, wall_s: float,
+             peak_flops: float = 394e12, peak_bw: float = 819e9):
+    """Roofline utilization numbers for one kernel/step on TPU v5e
+    (defaults: bf16 peak 394 TFLOP/s, HBM 819 GB/s)."""
+    return {
+        "achieved_tflops": flops / wall_s / 1e12,
+        "flops_util": flops / wall_s / peak_flops,
+        "achieved_gbps": bytes_moved / wall_s / 1e9,
+        "bw_util": bytes_moved / wall_s / peak_bw,
+        "arithmetic_intensity": flops / max(bytes_moved, 1.0),
+    }
