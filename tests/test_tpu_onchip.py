@@ -1,0 +1,73 @@
+"""Real-TPU on-chip tests (opt-in: pytest -m tpu --override-ini addopts=).
+
+These run against the actual chip (the axon platform): the Pallas kernel
+compiled for real, and a tiny generation consistency check.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    # undo the conftest CPU override inside this module's process? The
+    # platform was fixed at backend init; these tests are meant for a
+    # separate invocation:
+    #   JAX_PLATFORMS=axon python -m pytest tests/test_tpu_onchip.py -m tpu \
+    #       -p no:cacheprovider --override-ini addopts= --noconftest
+    import jax
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("not running on TPU (use --noconftest + -m tpu)")
+    return jax
+
+
+def test_pallas_kernel_on_chip(tpu):
+    import jax
+    import jax.numpy as jnp
+    from msnv_tpu.config import ModelConfig
+    from msnv_tpu.models.generate import fused_embed_conv, _mlp_logits
+    from msnv_tpu.models.samplernn import init_params
+    from msnv_tpu.ops.linear import dense_weight
+    from msnv_tpu.pallas.sample_kernel import make_sample_window
+
+    cfg = ModelConfig(frame_sizes=(20, 4), n_rnn=1, dim=256, cond_dim=5,
+                      spk_dim=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    fused = fused_embed_conv(params["mlp"]).astype(jnp.bfloat16)
+    fs0, q, dim = fused.shape
+    batch = 64
+    rng = np.random.RandomState(0)
+    buf0 = jnp.asarray(rng.randint(0, q, (batch, fs0)), jnp.int32)
+    slots = jnp.asarray(rng.randn(fs0, batch, dim), jnp.float32)
+    noise = jnp.zeros((fs0, batch, q), jnp.float32)
+
+    kern = make_sample_window(fs0, q, dim, batch, tile_b=64)
+    out = kern(fused.reshape(fs0 * q, dim),
+               dense_weight(params["mlp"]["hidden"]).T.astype(jnp.bfloat16),
+               params["mlp"]["hidden"]["b"][None, :].astype(jnp.float32),
+               dense_weight(params["mlp"]["out"]).T.astype(jnp.bfloat16),
+               params["mlp"]["out"]["b"][None, :].astype(jnp.float32),
+               slots.astype(jnp.bfloat16), buf0, noise)
+    out = np.asarray(out)
+    assert out.shape == (batch, fs0)
+    assert out.min() >= 0 and out.max() < q
+
+    # zero-noise argmax must match the XLA math (bf16 tolerance: compare
+    # against bf16-cast XLA logits argmax; near-ties may differ)
+    from msnv_tpu.models.generate import cast_float_tree
+    params_bf = cast_float_tree(params, jnp.bfloat16)
+    fused_bf = fused_embed_conv(params_bf["mlp"])
+    buf = buf0
+    match = 0
+    import jax.numpy as jnp2
+    for k in range(fs0):
+        logits = _mlp_logits(params_bf, fused_bf, buf,
+                             slots[k].astype(jnp.bfloat16))
+        s = jnp2.argmax(logits, axis=-1).astype(jnp2.int32)
+        match += int((np.asarray(s) == out[:, k]).sum())
+        buf = jnp2.concatenate([buf[:, 1:], out[:, k][:, None]], axis=1)
+    assert match / (batch * fs0) > 0.97, match / (batch * fs0)
