@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="warm-start checkpoint path")
     p.add_argument("--n_model_shards", type=int, default=1,
                    help="tensor-parallel shards ('model' mesh axis)")
+    p.add_argument("--multihost", type=parse_bool, default=False,
+                   help="call jax.distributed.initialize() for pod slices")
+    p.add_argument("--save_every_iterations", type=int, default=0,
+                   help="mid-epoch checkpoint interval (0 = per epoch only)")
     p.add_argument("--lambda_weight", nargs=3, type=float,
                    default=[0.0, 0.01, 50000.0],
                    help="GAN lambda ramp: start target ramp_steps")
@@ -120,6 +124,10 @@ def main(argv=None):
     from msnv_tpu.training.trainer import Trainer
 
     args = build_parser().parse_args(argv)
+    if args.multihost:
+        # multi-host pod slice: every host runs this same program;
+        # jax.devices() then spans all hosts and the mesh covers the slice
+        jax.distributed.initialize()
     init_random_seed(args.seed)
 
     wav_path = os.path.join(args.datasets_path, args.dataset)

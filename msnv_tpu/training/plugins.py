@@ -107,10 +107,24 @@ class AbsoluteTimeMonitor(Plugin):
 
 
 class SaverPlugin(Plugin):
-    """Write last/best checkpoints each epoch via CheckpointManager."""
+    """Write last/best checkpoints each epoch via CheckpointManager.
 
-    def __init__(self, manager):
+    `every_n_iterations` additionally checkpoints mid-epoch with the exact
+    data cursor, so preemption recovery loses at most that many steps —
+    a capability the reference lacks (it only saves per epoch and restarts
+    Adam/cursor on resume, ref plugins.py:113-155)."""
+
+    def __init__(self, manager, every_n_iterations: int = 0):
         self.manager = manager
+        self.every_n_iterations = every_n_iterations
+
+    def iteration(self, loss: float):
+        t = self.trainer
+        if (self.every_n_iterations and
+                t.iterations % self.every_n_iterations == 0):
+            self.manager.save_epoch(
+                t.checkpoint_state(), t.epochs, t.iterations,
+                meta={"tag": t.tag, "chunk": t.chunk_index + 1})
 
     def epoch(self, epoch_index: int):
         t = self.trainer

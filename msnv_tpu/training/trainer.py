@@ -30,6 +30,8 @@ class Trainer:
         self.state = init_tier_state(cfg.model, loader._qdata.shape[0])
         self.epochs = 0        # completed epochs (resume sets this)
         self.iterations = 0
+        self.chunk_index = 0   # data cursor within the current epoch
+        self.start_chunk = 0   # mid-epoch resume point
         self.stats = {}
         self.plugins = []
 
@@ -94,15 +96,20 @@ class Trainer:
 
     def train_epoch(self, start_chunk: int = 0):
         for chunk in self.loader.epoch(start_chunk=start_chunk):
+            self.chunk_index = chunk.index
             loss = self.train_chunk(chunk)
             self.iterations += 1
             self._call_plugins("iteration", float(loss))
 
-    def run(self, epoch_limit: int, start_chunk: int = 0):
-        """Run up to epoch_limit epochs, resuming from self.epochs
-        (ref trainer/__init__.py:52-60)."""
+    def run(self, epoch_limit: int):
+        """Run up to epoch_limit epochs, resuming from self.epochs (and,
+        for a mid-epoch checkpoint, from self.start_chunk) —
+        ref trainer/__init__.py:52-60 plus exact-cursor resume."""
+        first = True
         for epoch in range(self.epochs + 1, epoch_limit + 1):
-            self.train_epoch(start_chunk if epoch == self.epochs + 1 else 0)
+            self.train_epoch(self.start_chunk if first else 0)
+            first = False
+            self.start_chunk = 0
             self.epochs = epoch
             self._call_plugins("epoch", epoch)
 
@@ -144,3 +151,5 @@ class Trainer:
             self.disc_opt_state = state["disc_opt_state"]
         self.epochs = int(meta.get("epoch", 0))
         self.iterations = int(meta.get("iteration", 0))
+        # mid-epoch cursor: next chunk to train within epoch self.epochs+1
+        self.start_chunk = int(meta.get("chunk", 0))

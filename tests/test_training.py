@@ -149,3 +149,39 @@ def test_lr_schedule_multistep():
     assert np.isclose(sched(20), 1e-4)
     assert np.isclose(sched(39), 1e-4)
     assert np.isclose(sched(40), 1e-5)
+
+
+def test_midepoch_checkpoint_resume(tiny_setup, tmp_path):
+    """Mid-epoch saves carry the data cursor; resume continues at the exact
+    chunk and converges to the same params as uninterrupted training."""
+    cfg, _, _, loader, _ = tiny_setup
+    n = len(loader)
+    assert n >= 4
+
+    # uninterrupted: one full epoch
+    t_full = make_trainer(cfg, loader, seed=5)
+    t_full.run(1)
+
+    # interrupted: stop after 2 chunks, checkpoint with cursor, resume
+    t_a = make_trainer(cfg, loader, seed=5)
+    mgr = CheckpointManager(str(tmp_path / "mid"))
+    t_a.register_plugin(SaverPlugin(mgr, every_n_iterations=2))
+    for chunk in loader.epoch():
+        t_a.chunk_index = chunk.index
+        t_a.train_chunk(chunk)
+        t_a.iterations += 1
+        t_a._call_plugins("iteration", 0.0)
+        if t_a.iterations == 2:
+            break
+
+    path, e, it = mgr.latest()
+    assert it == 2 and e == 0
+    t_b = make_trainer(cfg, loader, seed=6)
+    state, meta = load_checkpoint(path, t_b.checkpoint_state())
+    t_b.restore(state, meta)
+    assert t_b.start_chunk == 2
+    t_b.run(1)
+
+    for a, b in zip(jax.tree_util.tree_leaves(t_full.params),
+                    jax.tree_util.tree_leaves(t_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
