@@ -1,0 +1,47 @@
+"""Data-parallel batched generation over a device mesh.
+
+The reference generates one utterance at a time in Python (ref
+generate.py:154-253); here a batch of utterances is sharded along the
+'data' mesh axis and every chip runs the (XLA-scan or Pallas) generator on
+its shard — conditioner frames live in that chip's HBM, no collectives on
+the hot path. Scales 1 chip -> pod slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+from msnv_tpu.config import ModelConfig
+from msnv_tpu.models.generate import generate_fn
+
+
+def sharded_generate_fn(params, cfg: ModelConfig, mesh, compute_dtype=None,
+                        use_pallas=False, pallas_opts=None):
+    """Build generate(cond, spk, key) sharded over mesh axis 'data'.
+
+    cond (B, frames, C) and spk (B,) are sharded on B (B must divide by the
+    data-axis size); params are replicated; each shard derives its own PRNG
+    stream by folding in its data-axis index. Returns (audio, sequences)
+    sharded the same way.
+    """
+    inner = generate_fn(params, cfg, compute_dtype=compute_dtype,
+                        use_pallas=use_pallas, pallas_opts=pallas_opts)
+
+    def shard_body(cond, spk, key):
+        idx = jax.lax.axis_index("data")
+        key = jax.random.fold_in(key, idx)
+        return inner(cond, spk, key)
+
+    spec_b = P("data")
+    fn = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(spec_b, spec_b, P()),
+        out_specs=(spec_b, spec_b),
+        check_rep=False,
+    )
+    return jax.jit(fn)
