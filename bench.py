@@ -42,13 +42,20 @@ def main():
     params = init_params(key, m)
 
     # ---- generation throughput ------------------------------------------
-    gen_batch = int(os.environ.get("BENCH_GEN_BATCH", "64"))
+    # modes: xla (f32 nested-scan, default) | pallas (bf16 fused kernel —
+    # higher throughput but much longer compile)
+    mode = os.environ.get("BENCH_MODE", "xla")
+    gen_batch = int(os.environ.get("BENCH_GEN_BATCH", "512"))
     frames = int(os.environ.get("BENCH_GEN_FRAMES", "100"))  # 0.5 s/utt
     rng = np.random.RandomState(0)
     cond = jnp.asarray(rng.rand(gen_batch, frames, m.effective_cond_dim),
                        jnp.float32)
     spk = jnp.asarray(rng.randint(0, m.spk_dim, (gen_batch,)), jnp.int32)
-    gen = generate_fn(params, m)
+    if mode == "pallas":
+        gen = generate_fn(params, m, compute_dtype=jnp.bfloat16,
+                          use_pallas=True, pallas_opts={"tile_b": 64})
+    else:
+        gen = generate_fn(params, m)
 
     audio, _ = gen(cond, spk, jax.random.PRNGKey(1))   # compile + warmup
     audio.block_until_ready()
@@ -108,6 +115,7 @@ def main():
         "extras": {
             "platform": platform,
             "device": device_kind,
+            "mode": mode,
             "gen_samples_per_s": round(samples_per_s),
             "gen_batch": gen_batch,
             "gen_wall_s": round(gen_dt, 3),
