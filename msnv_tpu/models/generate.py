@@ -106,18 +106,34 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
     tile_b = pallas_opts.get("tile_b", 64)
     cache = {}
 
+    def kernel_for(batch):
+        # one grid program per call: multi-program grids double-buffer the
+        # batch-blocked inputs and blow the 16 MB VMEM budget next to the
+        # ~13 MB of resident weights, so larger batches are sliced into
+        # independent <=tile_b calls by the wrapper below
+        if batch not in cache:
+            cache[batch] = make_sample_window(
+                fs0, q, cfg.dim, batch, tile_b=batch, interpret=interp)
+        return cache[batch]
+
     def run(carry, slots):
         buf, hs, key = carry
         batch = slots.shape[0]
-        if batch not in cache:
-            cache[batch] = make_sample_window(
-                fs0, q, cfg.dim, batch, tile_b=tile_b, interpret=interp)
         key, sub = jax.random.split(key)
         noise = gumbel_noise(sub, (fs0, batch, q))
-        samples = cache[batch](
-            table, wh.astype(table.dtype), bh, wo, bo,
-            jnp.swapaxes(slots, 0, 1).astype(table.dtype),
-            buf[:, -fs0:], noise)
+        slots_t = jnp.swapaxes(slots, 0, 1).astype(table.dtype)
+        window = buf[:, -fs0:]
+        wh_c = wh.astype(table.dtype)
+
+        n_slices = max(1, batch // tile_b)
+        size = batch // n_slices
+        outs = []
+        for i in range(n_slices):
+            sl = slice(i * size, (i + 1) * size)
+            outs.append(kernel_for(size)(
+                table, wh_c, bh, wo, bo, slots_t[:, sl], window[sl],
+                noise[:, sl]))
+        samples = outs[0] if n_slices == 1 else jnp.concatenate(outs, axis=0)
         buf = jnp.concatenate([buf[:, fs0:], samples], axis=1)
         return (buf, hs, key), samples
 
