@@ -184,7 +184,9 @@ def sample_mlp_forward(mlp_params, cfg: ModelConfig, samples, upper_cond):
     x = jax.nn.relu(x + upper_cond)
     x = jax.nn.relu(dense_apply(mlp_params["hidden"], x))
     x = dense_apply(mlp_params["out"], x)
-    return jax.nn.log_softmax(x, axis=-1)
+    # log-softmax always in f32 (numerically load-bearing under the bf16
+    # mixed-precision training mode; no-op in the f32 default)
+    return jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
 
 
 # --------------------------------------------------------------------------
@@ -221,20 +223,21 @@ def predictor_apply(params, cfg: ModelConfig, input_sequences, reset, cond,
     for t in range(cfg.n_tiers - 1, -1, -1):
         tier = params["tiers"][t]
         nfs = cfg.ns_frame_samples[t]
+        wdtype = tier["input_expand"]["w"].dtype
         # slice [lookback - nfs : -nfs + 1] (ref model.py:379-388)
         sl = jax.lax.slice_in_dim(input_sequences, lookback - nfs,
                                   total - nfs + 1, axis=1)
-        prev = 2.0 * dequantize(cfg, sl)                       # (B, seq_len)
+        prev = (2.0 * dequantize(cfg, sl)).astype(wdtype)      # (B, seq_len)
         prev = prev.reshape(batch, seq_len // nfs, nfs)
         # reset: select learned h0 (broadcast to batch) vs carried state
         h0 = jnp.broadcast_to(tier["h0"][:, None, :],
                               (cfg.n_rnn, batch, cfg.dim))
-        hidden = jnp.where(reset, h0, state[t])
+        hidden = jnp.where(reset, h0, state[t].astype(wdtype))
         is_top = t == cfg.n_tiers - 1
         out, new_hidden, lat = _tier_forward(
             tier, cfg, prev,
             upper_cond,
-            cond if is_top else None,
+            cond.astype(wdtype) if is_top else None,
             spk if is_top else None,
             hidden)
         if is_top:

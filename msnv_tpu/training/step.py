@@ -29,18 +29,29 @@ from msnv_tpu.parallel.mesh import (
 )
 
 
-def make_train_step(cfg: ModelConfig, optimizer, mesh=None, donate=True):
+def make_train_step(cfg: ModelConfig, optimizer, mesh=None, donate=True,
+                    compute_dtype=None):
     """Build the jitted train step.
 
     step(params, opt_state, state, data, reset, target, cond, spk)
       -> (params, opt_state, state, loss_bits)
+
+    compute_dtype=jnp.bfloat16 enables mixed-precision training: f32 master
+    params (Adam in f32), forward/backward matmuls in bf16 via a
+    differentiable cast, loss/log-softmax in f32.
     """
 
     def loss_fn(params, state, data, reset, cond, spk, target):
+        if compute_dtype is not None:
+            from msnv_tpu.models.generate import cast_float_tree
+            p = cast_float_tree(params, compute_dtype)
+            state = [s.astype(compute_dtype) for s in state]
+        else:
+            p = params
         log_probs, new_state, _latent = predictor_apply(
-            params, cfg, data, reset, cond, spk, state)
+            p, cfg, data, reset, cond, spk, state)
         loss = sequence_nll_loss_bits(log_probs, target)
-        return loss, new_state
+        return loss, [s.astype(jnp.float32) for s in new_state]
 
     def step(params, opt_state, state, data, reset, target, cond, spk):
         (loss, new_state), grads = jax.value_and_grad(

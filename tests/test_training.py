@@ -185,3 +185,34 @@ def test_midepoch_checkpoint_resume(tiny_setup, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(t_full.params),
                     jax.tree_util.tree_leaves(t_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_bf16_mixed_precision_training(tiny_setup):
+    """bf16 train step runs, loss is close to f32, and learning works."""
+    from msnv_tpu.training.step import make_train_step
+    cfg, _, _, loader, _ = tiny_setup
+    params = init_params(jax.random.PRNGKey(0), cfg.model)
+    opt = make_optimizer(cfg.train)
+    opt_state = opt.init(params)
+    from msnv_tpu.models.samplernn import init_tier_state
+    state = init_tier_state(cfg.model, 4)
+    step16 = make_train_step(cfg.model, opt, donate=False,
+                             compute_dtype=jnp.bfloat16)
+    step32 = make_train_step(cfg.model, opt, donate=False)
+    c = loader.get_chunk(0)
+    args = (jnp.asarray(c.data), jnp.asarray(True), jnp.asarray(c.target),
+            jnp.asarray(c.cond), jnp.asarray(c.spk))
+    _, _, _, l16 = step16(params, opt_state, state, *args)
+    _, _, _, l32 = step32(params, opt_state, state, *args)
+    assert abs(float(l16) - float(l32)) < 0.05, (float(l16), float(l32))
+    # a few bf16 steps reduce the loss
+    p, o, s = params, opt_state, state
+    first = None
+    for k in range(8):
+        p, o, s, l = step16(p, o, s, jnp.asarray(c.data),
+                            jnp.asarray(k == 0), jnp.asarray(c.target),
+                            jnp.asarray(c.cond), jnp.asarray(c.spk))
+        first = first or float(l)
+    assert float(l) < first - 0.2
+    # master params stay f32
+    assert p["mlp"]["hidden"]["w"].dtype == jnp.float32
