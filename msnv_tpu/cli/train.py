@@ -78,6 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="call jax.distributed.initialize() for pod slices")
     p.add_argument("--save_every_iterations", type=int, default=0,
                    help="mid-epoch checkpoint interval (0 = per epoch only)")
+    p.add_argument("--bf16", type=parse_bool, default=False,
+                   help="mixed-precision training (bf16 matmuls, f32 masters)")
     p.add_argument("--lambda_weight", nargs=3, type=float,
                    default=[0.0, 0.01, 50000.0],
                    help="GAN lambda ramp: start target ramp_steps")
@@ -181,7 +183,9 @@ def main(argv=None):
     if n_dev > 1 and args.batch_size % n_data == 0:
         mesh = make_mesh(n_data=n_data, n_model=args.n_model_shards)
         print(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
-    trainer = Trainer(cfg, params, optimizer, loader, mesh=mesh)
+    import jax.numpy as jnp
+    trainer = Trainer(cfg, params, optimizer, loader, mesh=mesh,
+                      compute_dtype=jnp.bfloat16 if args.bf16 else None)
 
     ckpt_dir = os.path.join(results_path, "checkpoints")
     manager = CheckpointManager(ckpt_dir, args.keep_old_checkpoints)
@@ -201,7 +205,8 @@ def main(argv=None):
         trainer.register_plugin(
             ValidationPlugin(val_loader, test_loader or val_loader))
     trainer.register_plugin(AbsoluteTimeMonitor())
-    trainer.register_plugin(SaverPlugin(manager))
+    trainer.register_plugin(SaverPlugin(
+        manager, every_n_iterations=args.save_every_iterations))
     trainer.register_plugin(Logger(
         ["training_loss", "validation_loss", "test_loss", "time"]))
     trainer.register_plugin(StatsPlugin(results_path))

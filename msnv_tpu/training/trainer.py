@@ -19,7 +19,7 @@ from msnv_tpu.training.step import make_eval_step, make_train_step
 
 class Trainer:
     def __init__(self, cfg: ExperimentConfig, params, optimizer, loader,
-                 mesh=None):
+                 mesh=None, compute_dtype=None):
         self.cfg = cfg
         self.tag = make_tag(cfg)
         self.params = params
@@ -51,7 +51,8 @@ class Trainer:
             self._eval = make_eval_step(cfg.model, mesh=None)
             return
 
-        step_builder = make_train_step(cfg.model, optimizer, mesh=mesh)
+        step_builder = make_train_step(cfg.model, optimizer, mesh=mesh,
+                                       compute_dtype=compute_dtype)
         eval_builder = make_eval_step(cfg.model, mesh=mesh)
         if mesh is None:
             self._step = step_builder
