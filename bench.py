@@ -42,9 +42,9 @@ def main():
     params = init_params(key, m)
 
     # ---- generation throughput ------------------------------------------
-    # modes: xla (f32 nested-scan, default) | pallas (bf16 fused kernel —
-    # higher throughput but much longer compile)
-    mode = os.environ.get("BENCH_MODE", "xla")
+    # modes: pallas (bf16 fused window kernel, default) | xla (f32
+    # nested-scan fallback)
+    mode = os.environ.get("BENCH_MODE", "pallas")
     gen_batch = int(os.environ.get("BENCH_GEN_BATCH", "512"))
     frames = int(os.environ.get("BENCH_GEN_FRAMES", "100"))  # 0.5 s/utt
     rng = np.random.RandomState(0)
