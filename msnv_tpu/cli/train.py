@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mid-epoch checkpoint interval (0 = per epoch only)")
     p.add_argument("--bf16", type=parse_bool, default=False,
                    help="mixed-precision training (bf16 matmuls, f32 masters)")
+    p.add_argument("--show_dataset", type=parse_bool, default=False,
+                   help="print chunk shapes for one epoch and exit "
+                        "(ref train.py:248-255 debug flag)")
     p.add_argument("--lambda_weight", nargs=3, type=float,
                    default=[0.0, 0.01, 50000.0],
                    help="GAN lambda ramp: start target ramp_steps")
@@ -160,6 +163,12 @@ def main(argv=None):
 
     loader = ChunkLoader(corpus, args.seq_len, ccfg.overlap_len,
                          args.cond_len, args.q_levels, args.ulaw)
+    if args.show_dataset:
+        for chunk in loader.epoch():
+            print(f"chunk {chunk.index}: data {chunk.data.shape} "
+                  f"target {chunk.target.shape} cond {chunk.cond.shape} "
+                  f"spk {chunk.spk.shape} reset {chunk.reset}")
+        return
     val_loader = test_loader = None
     for part, name in (("validation", "val_loader"), ("test", "test_loader")):
         try:

@@ -1,0 +1,69 @@
+"""GeneratorPlugin + TensorBoardPlugin wiring tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msnv_tpu.config import ExperimentConfig, ModelConfig, TrainConfig
+from msnv_tpu.data.corpus import CorpusConfig, build_corpus
+from msnv_tpu.data.loader import ChunkLoader
+from msnv_tpu.data.synthetic import make_synthetic_corpus
+from msnv_tpu.models.samplernn import init_params
+from msnv_tpu.training.optim import make_optimizer
+from msnv_tpu.training.plugins import GeneratorPlugin, TensorBoardPlugin
+from msnv_tpu.training.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("plug"))
+    make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=2,
+                          frames_per_utt=150, cond_len=16)
+    ccfg = CorpusConfig(
+        datasets_path=root, wav_path=os.path.join(root, "wav"),
+        cond_path=os.path.join(root, "cond"), overlap_len=16, seq_len=64,
+        batch_size=4, cond_len=16, norm_ind=False,
+        cache_dir=os.path.join(root, "npy"))
+    corpus = build_corpus(ccfg, "train")
+    loader = ChunkLoader(corpus, 64, 16, 16)
+    cfg = ExperimentConfig(
+        exp="plug",
+        model=ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=24, cond_dim=43,
+                          cond_len=16, spk_dim=2),
+        train=TrainConfig(seq_len=64, batch_size=4, learning_rate=1e-3))
+    params = init_params(jax.random.PRNGKey(0), cfg.model)
+    trainer = Trainer(cfg, params, make_optimizer(cfg.train), loader)
+    return cfg, trainer, root
+
+
+def test_generator_plugin_writes_wavs(setup, tmp_path):
+    cfg, trainer, root = setup
+    samples_dir = str(tmp_path / "samples")
+    rng = np.random.RandomState(0)
+    cond = rng.rand(2, 2, cfg.model.effective_cond_dim).astype(np.float32)
+    spk = np.array([0, 1], np.int32)
+    trainer.register_plugin(GeneratorPlugin(samples_dir, cond, spk))
+    trainer.run(1)
+    wavs = sorted(os.listdir(samples_dir))
+    assert len(wavs) == 2
+    assert wavs[0].startswith("ep1-")
+    from msnv_tpu.data.wavio import read_wav
+    audio, sr = read_wav(os.path.join(samples_dir, wavs[0]))
+    assert sr == 16000
+    assert audio.shape[0] == 2 * cfg.model.lookback
+
+
+def test_tensorboard_plugin(setup, tmp_path):
+    cfg, trainer, root = setup
+    log_dir = str(tmp_path / "tb")
+    tb = TensorBoardPlugin(log_dir)
+    trainer.register_plugin(tb)
+    trainer.run(trainer.epochs + 1)
+    if tb.writer is None:
+        pytest.skip("tensorboardX unavailable")
+    files = os.listdir(log_dir)
+    assert any("tfevents" in f for f in files)
