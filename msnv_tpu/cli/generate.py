@@ -69,7 +69,9 @@ def main(argv=None):
     p.add_argument("--min_max", default=None,
                    help="saved training min_max npy (defaults to "
                         "npy_datasets/min_max_{ind|joint}.npy next to cwd)")
-    p.add_argument("--norm_ind", action="store_true")
+    p.add_argument("--norm_ind", default=None,
+                   help="true/false; defaults to the value in the "
+                        "checkpoint's experiment tag")
     p.add_argument("--out_dir", default=None)
     p.add_argument("--seed", type=int, default=77977)
     args = p.parse_args(argv)
@@ -80,6 +82,10 @@ def main(argv=None):
     cfg = parse_tag(tag)
     m = cfg.model
     print("config from tag:", tag)
+    if args.norm_ind is None:
+        args.norm_ind = cfg.data.norm_ind
+    else:
+        args.norm_ind = str(args.norm_ind).lower() in ("1", "true", "t")
 
     with open(args.cond_list) as f:
         utts = f.read().split()
