@@ -141,11 +141,12 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
 
 
 def _make_level(params, cfg: ModelConfig, t: int, fused_table,
-                pallas_opts=None):
+                pallas_opts=None, unroll=1):
     """Scan-step fn for tier t: (carry, upper_slot) -> (carry, (B, nfs[t])).
 
     carry = (buf (B, lookback) int32, hs tuple of (n_rnn, B, dim), key).
     `upper_slot` is the parent's (B, dim) upsampled conditioning vector.
+    `unroll` unrolls the innermost (per-sample) scan body.
     """
     tier = params["tiers"][t]
     nfs = cfg.ns_frame_samples[t]
@@ -164,7 +165,7 @@ def _make_level(params, cfg: ModelConfig, t: int, fused_table,
             return (buf, hs, key), s
     else:
         sample_step = _make_level(params, cfg, t - 1, fused_table,
-                                  pallas_opts)
+                                  pallas_opts, unroll)
 
     wdtype = tier["input_expand"]["w"].dtype
 
@@ -179,7 +180,8 @@ def _make_level(params, cfg: ModelConfig, t: int, fused_table,
             (buf, hs, key), samples = window_sampler((buf, hs, key), slots)
             return (buf, hs, key), samples
         (buf, hs, key), ys = jax.lax.scan(
-            sample_step, (buf, hs, key), jnp.swapaxes(slots, 0, 1))
+            sample_step, (buf, hs, key), jnp.swapaxes(slots, 0, 1),
+            unroll=unroll if t == 0 else 1)
         # ys: (fs, B) for t==0 else (fs, B, nfs[t-1])
         samples = jnp.moveaxis(ys, 0, 1).reshape(ys.shape[1], nfs)
         return (buf, hs, key), samples
@@ -299,7 +301,7 @@ def teacher_forced_log_probs(params, cfg: ModelConfig):
 
 
 def generate_fn(params, cfg: ModelConfig, compute_dtype=None,
-                use_pallas=False, pallas_opts=None):
+                use_pallas=False, pallas_opts=None, unroll=1):
     """Build a jitted generate(cond, spk, key) -> (audio, sequences).
 
     cond: (B, num_frames, effective_cond_dim) normalized conditioners.
@@ -324,7 +326,7 @@ def generate_fn(params, cfg: ModelConfig, compute_dtype=None,
     tier = params["tiers"][top]
     nfs_top = cfg.ns_frame_samples[top]
     fused = fused_embed_conv(params["mlp"])
-    below = (_make_level(params, cfg, top - 1, fused, pallas_opts)
+    below = (_make_level(params, cfg, top - 1, fused, pallas_opts, unroll)
              if top > 0 else None)
     wdtype = tier["input_expand"]["w"].dtype
 

@@ -119,3 +119,15 @@ def test_generate_wav_roundtrip(tmp_path):
     write_wav(p, np.asarray(audio[0]), 16000)
     back, sr = read_wav(p)
     assert sr == 16000 and back.shape[0] == audio.shape[1]
+
+
+def test_unrolled_scan_matches_rolled():
+    # unroll is a pure scheduling knob: results must be bit-identical
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=5,
+                      spk_dim=2)
+    params, cond, spk = setup(cfg, batch=2, frames=3)
+    g1 = generate_fn(params, cfg)
+    g4 = generate_fn(params, cfg, unroll=4)
+    _, s1 = g1(cond, spk, jax.random.PRNGKey(9))
+    _, s4 = g4(cond, spk, jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s4))
