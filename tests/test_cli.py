@@ -115,3 +115,24 @@ def test_generate_cli(trained):
         assert sr == 16000
         assert audio.shape[0] > 0
         assert np.isfinite(audio).all()
+
+
+def test_evaluate_cli(trained, capsys):
+    root, data_dir, results = trained
+    exp_dir = os.path.join(results, os.listdir(results)[0])
+    ckpts = [c for c in os.listdir(os.path.join(exp_dir, "checkpoints"))
+             if c.startswith("best-")]
+    model_path = os.path.join(exp_dir, "checkpoints", ckpts[0])
+    from msnv_tpu.cli.evaluate import main as eval_main
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        eval_main(["--model", model_path, "--datasets_path", data_dir,
+                   "--partitions", "validation"])
+    finally:
+        os.chdir(cwd)
+    out = capsys.readouterr().out
+    assert "validation: NLL" in out
+    import re
+    m = re.search(r"NLL ([\d.]+) bits", out)
+    assert m and 0.0 < float(m.group(1)) < 10.0
