@@ -74,6 +74,10 @@ def main(argv=None):
                         "checkpoint's experiment tag")
     p.add_argument("--out_dir", default=None)
     p.add_argument("--seed", type=int, default=77977)
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="auto = fused Pallas kernel (bf16) on TPU, XLA f32 "
+                        "scan elsewhere; xla is bit-reproducible per key")
     args = p.parse_args(argv)
 
     # re-hydrate config from the tag in the checkpoint path
@@ -124,7 +128,16 @@ def main(argv=None):
     state, meta = load_checkpoint(args.model, {"params": params})
     params = state["params"] if "params" in state else state
 
-    gen = generate_fn(params, m)
+    engine = args.engine
+    if engine == "auto":
+        engine = ("pallas" if jax.devices()[0].platform == "tpu"
+                  else "xla")
+    if engine == "pallas":
+        gen = generate_fn(params, m, compute_dtype=jnp.bfloat16,
+                          use_pallas=True)
+    else:
+        gen = generate_fn(params, m, unroll=m.frame_sizes[0])
+    print(f"generation engine: {engine}")
     audio, _ = gen(jnp.asarray(batch),
                    jnp.asarray(np.asarray(spks), jnp.int32),
                    jax.random.PRNGKey(args.seed))
