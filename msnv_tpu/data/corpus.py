@@ -90,10 +90,20 @@ def _names(cfg: CorpusConfig, partition: str):
 
 
 def load_utterance(cfg: CorpusConfig, name: str):
-    """Load one utterance: returns (audio, cond(43), n_frames).
+    """Load one utterance: returns (audio, cond(43), n_frames_label).
 
     ref dataset.py:83-135. Sync deviation for oversize==60 documented in the
     module docstring.
+
+    Reproduced reference quirk: `n_frames_label` (the repeat count for the
+    speaker/audio-id tracks) is the PRE-truncation frame count — the
+    reference builds those tracks (ref dataset.py:107-111) before the sync
+    block trims the cond tracks (ref dataset.py:119-124) and never trims
+    them, so speaker labels drift +1 frame per truncated utterance relative
+    to the conditioners. Reproduced for exact data parity
+    (tests/test_dataset_parity.py); the drift slightly blurs per-speaker
+    normalization masks and majority-speaker labels at utterance
+    boundaries, identically to the reference.
     """
     from msnv_tpu.data import native
     d, _sr = native.read_wav(os.path.join(cfg.wav_path, name + ".wav"))
@@ -107,6 +117,8 @@ def load_utterance(cfg: CorpusConfig, name: str):
     fv = np.asarray(fv).reshape(-1, 1)
     uv = np.asarray(uv).reshape(-1, 1)
 
+    n_frames_label = fv.shape[0]  # pre-truncation count (quirk, see above)
+
     # length sync (ref dataset.py:113-124; exclusive-branch deviation)
     oversize = d.shape[0] % cfg.cond_len
     if oversize >= 60:
@@ -119,7 +131,7 @@ def load_utterance(cfg: CorpusConfig, name: str):
     n = min(c.shape[0], f0.shape[0], fv.shape[0])
     cond = np.concatenate(
         [c[:n], f0[:n], fv[:n], uv[:n].astype(np.float64)], axis=1)
-    return d, cond, cond.shape[0]
+    return d, cond, n_frames_label
 
 
 def build_corpus(cfg: CorpusConfig, partition: str,

@@ -57,10 +57,12 @@ class ChunkLoader:
         if ulaw:
             # quantize each lane once; identical to per-window quantization
             # because uquantize is pointwise (ref dataset.py:253-254).
-            # Native C++ path when built, bit-identical python fallback.
-            from msnv_tpu.data import native
-            self._qdata = native.uquantize(
-                corpus.data.astype(np.float32), q_levels)
+            # Math runs at the corpus dtype (float64) — the reference
+            # quantizes f64 through torch and f32 differs at rare bin
+            # boundaries (see ops.quantize.uquantize_np).
+            from msnv_tpu.ops.quantize import uquantize_np
+            self._qdata = uquantize_np(corpus.data.astype(np.float64),
+                                       q_levels)
         else:
             self._qdata = corpus.data.astype(np.int32)
 

@@ -64,6 +64,21 @@ def q_zero(q_levels: int = 256) -> int:
     return q_levels // 2
 
 
+def uquantize_np(samples, q_levels: int = 256):
+    """Numpy mu-law quantizer preserving the INPUT precision.
+
+    The reference corpus stores audio as float64 (np.append promotion,
+    ref dataset.py:138) and quantizes through torch in f64
+    (ref dataset.py:253-254); f32 math lands on different levels at rare
+    bin boundaries. The chunk loader uses this f64 path for exact parity.
+    """
+    import numpy as np
+    x = np.asarray(samples)
+    y = np.sign(x) * np.log1p(MU * np.abs(x)) / LOG_MU1
+    return np.floor(0.5 * (y + 1.0) * (q_levels - _EPS_MIDRISE)).astype(
+        np.int32)
+
+
 def linear_quantize(samples, q_levels: int = 256):
     """Per-sequence min/max linear quantizer (ref utils.py:9-15).
 
