@@ -26,6 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     import jax
+    # persistent compile cache: the big generation graphs take minutes to
+    # compile cold but ~1s warm (works through the remote-compile tunnel)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     from msnv_tpu.config import preset
     from msnv_tpu.models.generate import generate_fn
