@@ -236,6 +236,90 @@ def _make_level_forced(params, cfg: ModelConfig, t: int, fused_table):
     return level_step
 
 
+def streaming_fn(params, cfg: ModelConfig, compute_dtype=None,
+                 use_pallas=False, pallas_opts=None):
+    """Streaming generation: push one conditioner frame, pull lookback
+    samples, O(1) carried state — unbounded audio with constant memory.
+
+    Returns (init_state, push) where:
+      init_state(batch, spk, [key]) -> carry
+      push(carry, cond_frame (B, effective_cond_dim)) -> (carry, audio
+        (B, lookback) float32, samples (B, lookback) int32)
+
+    The per-frame math is identical to generate_fn (same scans below the
+    frame level), so a sequence of push() calls reproduces a batch
+    generate() with the same key exactly. Serving usage: keep `carry` on
+    device between requests; each push is one jitted call.
+    """
+    if compute_dtype is not None:
+        params = cast_float_tree(params, compute_dtype)
+    if use_pallas:
+        assert cfg.n_tiers >= 2
+        pallas_opts = dict(pallas_opts or {})
+    else:
+        pallas_opts = None
+    top = cfg.n_tiers - 1
+    tier = params["tiers"][top]
+    nfs_top = cfg.ns_frame_samples[top]
+    fused = fused_embed_conv(params["mlp"])
+    below = (_make_level(params, cfg, top - 1, fused, pallas_opts)
+             if top > 0 else None)
+    wdtype = tier["input_expand"]["w"].dtype
+
+    def frame_step(spk_vec, carry, cond_j):
+        buf, hs, key = carry
+        prev = (2.0 * dequantize(cfg, buf[:, -nfs_top:])).astype(wdtype)
+        x = dense_apply(tier["input_expand"], prev)
+        c, _ = conditioner_apply(tier["conditioner"], cfg,
+                                 cond_j[:, None, :].astype(wdtype))
+        x = x + c[:, 0, :] + spk_vec
+        y, h_new = gru_cell(tier["gru"], x, hs[top])
+        hs = tuple(h_new if i == top else h for i, h in enumerate(hs))
+        slots = upsample_step(tier["upsample"], y)
+        if below is not None:
+            (buf, hs, key), ys = jax.lax.scan(
+                below, (buf, hs, key), jnp.swapaxes(slots, 0, 1))
+        else:
+            def step(carry2, slot):
+                buf2, hs2, key2 = carry2
+                key2, sub = jax.random.split(key2)
+                s = _mlp_sample(params, fused, buf2, slot, sub)
+                buf2 = jnp.concatenate([buf2[:, 1:], s[:, None]], axis=1)
+                return (buf2, hs2, key2), s
+            (buf, hs, key), ys = jax.lax.scan(
+                step, (buf, hs, key), jnp.swapaxes(slots, 0, 1))
+        samples = jnp.moveaxis(ys, 0, 1).reshape(ys.shape[1], nfs_top)
+        return (buf, hs, key), samples
+
+    def init_state(batch, spk, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if jnp.issubdtype(jnp.asarray(spk).dtype, jnp.integer):
+            spk_embed = tier["spk_embedding"][jnp.asarray(spk)]
+        else:
+            spk_embed = jnp.einsum(
+                "bs,se->be",
+                jnp.asarray(spk).astype(tier["spk_embedding"].dtype),
+                tier["spk_embedding"])
+        spk_vec = dense_apply(tier["spk_expand"], spk_embed)
+        buf = jnp.full((batch, cfg.lookback), q_zero(cfg.q_levels),
+                       jnp.int32)
+        hs = tuple(
+            jnp.broadcast_to(p_t["h0"][:, None, :],
+                             (cfg.n_rnn, batch, cfg.dim))
+            for p_t in params["tiers"])
+        return (spk_vec, buf, hs, key)
+
+    @jax.jit
+    def push(carry, cond_frame):
+        spk_vec, buf, hs, key = carry
+        (buf, hs, key), samples = frame_step(spk_vec, (buf, hs, key),
+                                             cond_frame)
+        return (spk_vec, buf, hs, key), dequantize(cfg, samples), samples
+
+    return init_state, push
+
+
 def teacher_forced_log_probs(params, cfg: ModelConfig):
     """Jitted f(cond, spk, forced_seq) -> (B, T, q) log-probs, where the
     generation machinery is driven by `forced_seq` instead of sampling.
