@@ -92,7 +92,9 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
     """(carry, slots (B, fs0, dim)) -> (carry, samples (B, fs0)) via the
     fused Pallas kernel (msnv_tpu/pallas/sample_kernel.py)."""
     from msnv_tpu.ops.linear import dense_weight
-    from msnv_tpu.pallas.sample_kernel import gumbel_noise, make_sample_window
+    from msnv_tpu.pallas.sample_kernel import (gumbel_noise,
+                                               make_sample_window,
+                                               make_sample_window_v2)
 
     fs0 = cfg.frame_sizes[0]
     q = cfg.q_levels
@@ -104,7 +106,33 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
 
     interp = pallas_opts.get("interpret", False)
     tile_b = pallas_opts.get("tile_b", 64)
+    use_v2 = pallas_opts.get("v2", False)
     cache = {}
+
+    if use_v2:
+        # v2: one multi-tile grid call, weights fetched once, in-kernel PRNG
+        v2_tile = pallas_opts.get("tile_b", 32)
+
+        def run(carry, slots):
+            buf, hs, key = carry
+            batch = slots.shape[0]
+            tb = min(v2_tile, batch)
+            n_tiles = batch // tb
+            if batch not in cache:
+                cache[batch] = make_sample_window_v2(
+                    fs0, q, cfg.dim, batch, tile_b=tb)
+            key, sub = jax.random.split(key)
+            seed = (sub[0] ^ sub[1]).astype(jnp.int32)[None]
+            slots_t = jnp.swapaxes(slots, 0, 1).astype(table.dtype)
+            slots_tiled = slots_t.reshape(
+                fs0, n_tiles, tb, cfg.dim).transpose(1, 0, 2, 3)
+            samples = cache[batch](
+                seed, table, wh.astype(table.dtype), bh, wo, bo,
+                slots_tiled, buf[:, -fs0:])
+            buf = jnp.concatenate([buf[:, fs0:], samples], axis=1)
+            return (buf, hs, key), samples
+
+        return run
 
     def kernel_for(batch):
         # one grid program per call: multi-program grids double-buffer the

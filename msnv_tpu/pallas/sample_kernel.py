@@ -46,24 +46,11 @@ def _window_kernel(fs0, q, dim, tile_b, table_ref, wh_ref, bh_ref,
     """One grid program: fs0 samples for a tile of `tile_b` lanes."""
 
     def body(k, buf):
-        # one-hot of the sliding window: (TB, fs0, q) -> (TB, fs0*q)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (tile_b, fs0, q), 2)
-        onehot = (idx == buf[:, :, None]).astype(table_ref.dtype)
-        onehot = onehot.reshape(tile_b, fs0 * q)
-        x = jnp.dot(onehot, table_ref[:, :],
-                    preferred_element_type=jnp.float32)
-        x = x + slots_ref[k, :, :].astype(jnp.float32)
-        x = jnp.maximum(x, 0.0).astype(table_ref.dtype)
-        h = jnp.dot(x, wh_ref[:, :], preferred_element_type=jnp.float32)
-        h = jnp.maximum(h + bh_ref[0, :], 0.0).astype(table_ref.dtype)
-        logits = jnp.dot(h, wo_ref[:, :],
-                         preferred_element_type=jnp.float32)
-        logits = logits + bo_ref[0, :]
-
+        logits = _sample_logits(fs0, q, tile_b, table_ref, wh_ref, bh_ref,
+                                wo_ref, bo_ref, buf, slots_ref[k, :, :])
         # Gumbel-max categorical draw with precomputed noise
         s = jnp.argmax(logits + noise_ref[k, :, :], axis=-1)
         s = s.astype(jnp.int32)
-
         # slide the window
         return jnp.concatenate([buf[:, 1:], s[:, None]], axis=1)
 
@@ -118,3 +105,105 @@ def gumbel_noise(key, shape):
     u = jax.random.uniform(key, shape, jnp.float32,
                            minval=1e-20, maxval=1.0)
     return -jnp.log(-jnp.log(u))
+
+
+# ---------------------------------------------------------------------------
+# v2: multi-tile grid with weights resident ACROSS tiles + in-kernel PRNG
+# ---------------------------------------------------------------------------
+#
+# The v1 wrapper slices big batches into independent single-program calls,
+# which re-DMAs the ~13 MB of weights once per 64-lane slice (8x per window
+# at B=512 — ~5 MB/sample of pure weight refetch). v2 runs ONE pallas_call
+# with grid=(n_tiles,): weight blocks have constant index maps so Mosaic
+# fetches them once for the whole grid; the per-tile slots are hand-DMA'd
+# from HBM into a single-buffered scratch (the automatic pipeline would
+# double-buffer them and blow the 16 MB VMEM budget), and Gumbel noise is
+# drawn in-kernel from the TPU PRNG (no noise traffic at all).
+#
+# The per-sample math is the same code as v1 (`_sample_logits`); v1's CPU
+# interpret tests pin it, and the on-chip test validates v2 end-to-end.
+
+
+def _sample_logits(fs0, q, tile_b, table_ref, wh_ref, bh_ref, wo_ref,
+                   bo_ref, buf, slot_row):
+    """Shared per-sample MLP math: window one-hot -> f32 logits."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (tile_b, fs0, q), 2)
+    onehot = (idx == buf[:, :, None]).astype(table_ref.dtype)
+    onehot = onehot.reshape(tile_b, fs0 * q)
+    x = jnp.dot(onehot, table_ref[:, :], preferred_element_type=jnp.float32)
+    x = x + slot_row.astype(jnp.float32)
+    x = jnp.maximum(x, 0.0).astype(table_ref.dtype)
+    h = jnp.dot(x, wh_ref[:, :], preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + bh_ref[0, :], 0.0).astype(table_ref.dtype)
+    logits = jnp.dot(h, wo_ref[:, :], preferred_element_type=jnp.float32)
+    return logits + bo_ref[0, :]
+
+
+def _window_kernel_v2(fs0, q, dim, tile_b, seed_ref, table_ref, wh_ref,
+                      bh_ref, wo_ref, bo_ref, slots_hbm, buf_ref, out_ref):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i * 7919)
+
+    def run(slots_vmem, sem):
+        copy = pltpu.make_async_copy(slots_hbm.at[i], slots_vmem, sem)
+        copy.start()
+        copy.wait()
+
+        def body(k, buf):
+            logits = _sample_logits(fs0, q, tile_b, table_ref, wh_ref,
+                                    bh_ref, wo_ref, bo_ref, buf,
+                                    slots_vmem[k, :, :])
+            bits = pltpu.bitcast(pltpu.prng_random_bits((tile_b, q)),
+                                 jnp.uint32)
+            # Mosaic has no uint32->f32 cast; (bits >> 8) < 2^24 so the
+            # int32 reinterpretation is value-preserving
+            bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+            u = (bits24.astype(jnp.float32) + 0.5) * (1.0 / 16777216.0)
+            gumbel = -jnp.log(-jnp.log(u))
+            s = jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
+            return jnp.concatenate([buf[:, 1:], s[:, None]], axis=1)
+
+        out_ref[:, :] = jax.lax.fori_loop(0, fs0, body, buf_ref[:, :])
+
+    pl.run_scoped(
+        run,
+        pltpu.VMEM((fs0, tile_b, dim), table_ref.dtype),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def make_sample_window_v2(fs0: int, q: int, dim: int, batch: int,
+                          tile_b: int = 32):
+    """sample_window_v2(seed, table, w_h, b_h, w_o, b_o, slots, buf).
+
+    seed: (1,) int32; slots: (n_tiles, fs0, tile_b, dim) — batch pre-tiled;
+    buf: (batch, fs0). Returns samples (batch, fs0) int32. TPU only (the
+    in-kernel PRNG has no CPU interpret support).
+    """
+    tile_b = min(tile_b, batch)
+    assert batch % tile_b == 0, (batch, tile_b)
+    n_tiles = batch // tile_b
+
+    kernel = functools.partial(_window_kernel_v2, fs0, q, dim, tile_b)
+    const = lambda i, s: (0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((fs0 * q, dim), const,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dim, dim), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, dim), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((dim, q), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # slots stay in HBM
+                pl.BlockSpec((tile_b, fs0), lambda i, s: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_b, fs0), lambda i, s: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, fs0), jnp.int32),
+    )
