@@ -60,7 +60,8 @@ def main():
     spk = jnp.asarray(rng.randint(0, m.spk_dim, (gen_batch,)), jnp.int32)
     if mode == "pallas":
         gen = generate_fn(params, m, compute_dtype=jnp.bfloat16,
-                          use_pallas=True, pallas_opts={"tile_b": 64})
+                          use_pallas=True,
+                          pallas_opts={"v2": True, "tile_b": 64})
     else:
         gen = generate_fn(params, m)
 

@@ -134,7 +134,8 @@ def main(argv=None):
                   else "xla")
     if engine == "pallas":
         gen = generate_fn(params, m, compute_dtype=jnp.bfloat16,
-                          use_pallas=True)
+                          use_pallas=True,
+                          pallas_opts={"v2": True, "tile_b": 64})
     else:
         gen = generate_fn(params, m, unroll=m.frame_sizes[0])
     print(f"generation engine: {engine}")
