@@ -39,6 +39,7 @@ def build_pair(cfg: ModelConfig, seed=0):
 @pytest.mark.parametrize("frame_sizes,n_rnn,dim", [
     ((4, 4), 1, 16),
     ((20, 4), 2, 32),     # canonical shape chain at reduced width
+    ((4, 5, 4), 1, 16),   # 3-tier (BASELINE config[1] shape)
 ])
 def test_predictor_log_prob_parity(frame_sizes, n_rnn, dim):
     cfg = ModelConfig(frame_sizes=frame_sizes, n_rnn=n_rnn, dim=dim,
