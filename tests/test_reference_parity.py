@@ -113,3 +113,65 @@ def test_loss_parity():
         torch.log_softmax(torch.from_numpy(logits), dim=-1),
         torch.from_numpy(tgt)))
     np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_training_trajectory_parity():
+    """Optimizer-semantics gate: from identical weights and data, our
+    clipped-Adam TBPTT steps track the reference's closure-step losses."""
+    import optax
+    from msnv_tpu.training.optim import make_optimizer
+    from msnv_tpu.config import TrainConfig
+
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=7,
+                      spk_dim=2)
+    params, predictor = build_pair(cfg, seed=7)
+
+    sys_path_ref = "/root/reference"
+    import sys
+    sys.path.insert(0, sys_path_ref)
+    try:
+        import nn as ref_nn
+        from optim import gradient_clipping
+    finally:
+        sys.path.remove(sys_path_ref)
+
+    lr = 1e-3
+    t_opt = gradient_clipping(
+        torch.optim.Adam(predictor.parameters(), lr=lr))
+
+    tc = TrainConfig(learning_rate=lr, grad_clip=1.0)
+    j_opt = make_optimizer(tc)
+    j_opt_state = j_opt.init(params)
+    from msnv_tpu.training.step import make_train_step
+    step = make_train_step(cfg, j_opt, donate=False)
+
+    batch, seq_len = 3, 2 * cfg.lookback
+    rng = np.random.RandomState(3)
+    state = init_tier_state(cfg, batch)
+    ours_losses, ref_losses = [], []
+    for k in range(5):
+        data = rng.randint(0, 256, (batch, seq_len + cfg.lookback - 1))
+        target = rng.randint(0, 256, (batch, seq_len))
+        cond = rng.rand(batch, seq_len // cfg.lookback,
+                        cfg.effective_cond_dim).astype(np.float32)
+        spk = rng.randint(0, cfg.spk_dim, (batch,))
+
+        params, j_opt_state, state, loss = step(
+            params, j_opt_state, state, jnp.asarray(data, jnp.int32),
+            jnp.asarray(k == 0), jnp.asarray(target, jnp.int32),
+            jnp.asarray(cond), jnp.asarray(spk, jnp.int32))
+        ours_losses.append(float(loss))
+
+        def closure():
+            out = predictor(torch.from_numpy(data), k == 0,
+                            torch.from_numpy(cond),
+                            torch.from_numpy(spk[:, None]), None, k)
+            l = ref_nn.sequence_nll_loss_bits(
+                out, torch.from_numpy(target))
+            l.backward()
+            return l
+        t_opt.zero_grad(set_to_none=False)
+        l = t_opt.step(closure)
+        ref_losses.append(float(l))
+
+    np.testing.assert_allclose(ours_losses, ref_losses, atol=2e-3)
