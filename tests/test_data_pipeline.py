@@ -151,3 +151,28 @@ def test_norm_ind_per_speaker(tmp_path):
     assert corpus.min_cond.shape == (3, 43)
     assert corpus.max_cond.shape == (3, 43)
     assert corpus.cond.min() >= -1e-9 and corpus.cond.max() <= 1 + 1e-9
+
+
+def test_static_spk_lists(tmp_path):
+    """static_spk=True reads wav_<partition>_static.list and caches with the
+    _static suffix (ref dataset.py:39-67)."""
+    root = str(tmp_path)
+    make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=3,
+                          frames_per_utt=120, cond_len=16,
+                          partitions=("train",))
+    # static list: only speaker 71's utterances
+    names = [n for n in open(os.path.join(root, "wav_train.list"))
+             .read().split() if n.startswith("71")]
+    with open(os.path.join(root, "wav_train_static.list"), "w") as f:
+        f.write("\n".join(names))
+    cfg = CorpusConfig(
+        datasets_path=root, wav_path=os.path.join(root, "wav"),
+        cond_path=os.path.join(root, "cond"), overlap_len=16, seq_len=64,
+        batch_size=2, cond_len=16, norm_ind=False, static_spk=True,
+        cache_dir=os.path.join(root, "npy"))
+    corpus = build_corpus(cfg, "train")
+    assert (corpus.spk == corpus.spk[0, 0]).all()  # single speaker
+    assert os.path.isfile(os.path.join(root, "npy", "train",
+                                       "data_static.npy"))
+    assert os.path.isfile(os.path.join(root, "npy",
+                                       "min_max_joint_static.npy"))
