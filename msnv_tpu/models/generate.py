@@ -94,7 +94,8 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
     from msnv_tpu.ops.linear import dense_weight
     from msnv_tpu.pallas.sample_kernel import (gumbel_noise,
                                                make_sample_window,
-                                               make_sample_window_v2)
+                                               make_sample_window_v2,
+                                               make_sample_window_v3)
 
     fs0 = cfg.frame_sizes[0]
     q = cfg.q_levels
@@ -107,11 +108,14 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
     interp = pallas_opts.get("interpret", False)
     tile_b = pallas_opts.get("tile_b", 64)
     use_v2 = pallas_opts.get("v2", False)
+    use_v3 = pallas_opts.get("v3", False)
     cache = {}
 
-    if use_v2:
-        # v2: one multi-tile grid call, weights fetched once, in-kernel PRNG
-        v2_tile = pallas_opts.get("tile_b", 32)
+    if use_v2 or use_v3:
+        # v2/v3: one multi-tile grid call, weights fetched once, in-kernel
+        # PRNG; v3 streams slot rows per sample so tile_b can reach 128
+        maker = make_sample_window_v3 if use_v3 else make_sample_window_v2
+        v2_tile = pallas_opts.get("tile_b", 128 if use_v3 else 32)
 
         def run(carry, slots):
             buf, hs, key = carry
@@ -119,7 +123,7 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
             tb = min(v2_tile, batch)
             n_tiles = batch // tb
             if batch not in cache:
-                cache[batch] = make_sample_window_v2(
+                cache[batch] = maker(
                     fs0, q, cfg.dim, batch, tile_b=tb)
             key, sub = jax.random.split(key)
             seed = (sub[0] ^ sub[1]).astype(jnp.int32)[None]

@@ -172,6 +172,77 @@ def _window_kernel_v2(fs0, q, dim, tile_b, seed_ref, table_ref, wh_ref,
     )
 
 
+def _window_kernel_v3(fs0, q, dim, tile_b, seed_ref, table_ref, wh_ref,
+                      bh_ref, wo_ref, bo_ref, slots_hbm, buf_ref, out_ref):
+    """v3: tile_b=128 (full MXU rows) fits VMEM by streaming slot ROWS from
+    HBM with a 2-deep double buffer instead of landing the whole window."""
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i * 7919)
+
+    def run(slot_buf, sems):
+        def dma(k):
+            return pltpu.make_async_copy(
+                slots_hbm.at[i, k], slot_buf.at[k % 2], sems.at[k % 2])
+
+        dma(0).start()
+
+        def body(k, buf):
+            @pl.when(k + 1 < fs0)
+            def _():
+                dma(k + 1).start()
+            dma(k).wait()
+            logits = _sample_logits(fs0, q, tile_b, table_ref, wh_ref,
+                                    bh_ref, wo_ref, bo_ref, buf,
+                                    slot_buf[k % 2])
+            bits = pltpu.bitcast(pltpu.prng_random_bits((tile_b, q)),
+                                 jnp.uint32)
+            bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+            u = (bits24.astype(jnp.float32) + 0.5) * (1.0 / 16777216.0)
+            gumbel = -jnp.log(-jnp.log(u))
+            s = jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
+            return jnp.concatenate([buf[:, 1:], s[:, None]], axis=1)
+
+        out_ref[:, :] = jax.lax.fori_loop(0, fs0, body, buf_ref[:, :])
+
+    pl.run_scoped(
+        run,
+        pltpu.VMEM((2, tile_b, dim), table_ref.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def make_sample_window_v3(fs0: int, q: int, dim: int, batch: int,
+                          tile_b: int = 128):
+    """Like v2 but with per-sample slot-row streaming; tile_b up to 128."""
+    tile_b = min(tile_b, batch)
+    assert batch % tile_b == 0, (batch, tile_b)
+    n_tiles = batch // tile_b
+
+    kernel = functools.partial(_window_kernel_v3, fs0, q, dim, tile_b)
+    const = lambda i, s: (0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((fs0 * q, dim), const,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dim, dim), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, dim), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((dim, q), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # slots in HBM
+                pl.BlockSpec((tile_b, fs0), lambda i, s: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_b, fs0), lambda i, s: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, fs0), jnp.int32),
+    )
+
+
 def make_sample_window_v2(fs0: int, q: int, dim: int, batch: int,
                           tile_b: int = 32):
     """sample_window_v2(seed, table, w_h, b_h, w_o, b_o, slots, buf).

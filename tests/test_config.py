@@ -52,3 +52,42 @@ def test_derived_properties():
     assert m.lookback == 80
     m3 = ModelConfig(frame_sizes=(4, 5, 4))
     assert m3.ns_frame_samples == (4, 20, 80)
+
+
+def test_tag_roundtrip_fuzz():
+    import random
+    rnd = random.Random(7)
+    for _ in range(50):
+        n_tiers = rnd.choice([2, 3])
+        fs = tuple(rnd.choice([2, 4, 5, 8, 16, 20]) for _ in range(n_tiers))
+        cfg = ExperimentConfig(
+            exp=rnd.choice(["a", "exp-b", "samplernn"]),
+            model=ModelConfig(
+                frame_sizes=fs,
+                n_rnn=rnd.randint(1, 3),
+                dim=rnd.choice([16, 64, 512, 1024]),
+                learn_h0=rnd.random() < 0.5,
+                ulaw=rnd.random() < 0.5,
+                q_levels=rnd.choice([16, 256]),
+                weight_norm=rnd.random() < 0.5,
+                cond_dim=rnd.randint(1, 90),
+                cond_len=rnd.choice([16, 80]),
+                spk_dim=rnd.randint(1, 8),
+                look_ahead=rnd.random() < 0.5,
+                variant=rnd.choice(["identity", "bottleneck", "gan"]),
+                ind_cond_dim=rnd.randint(2, 60)),
+            train=TrainConfig(
+                seq_len=rnd.choice([64, 1040]),
+                batch_size=rnd.choice([4, 128]),
+                learning_rate=rnd.choice([1e-3, 1e-4, 2e-3]),
+                seed=rnd.randint(0, 10 ** 6),
+                scheduler=rnd.random() < 0.5),
+            data=DataConfig(norm_ind=rnd.random() < 0.5,
+                            static_spk=rnd.random() < 0.5))
+        back = parse_tag(make_tag(cfg), exp=cfg.exp)
+        assert back.model == cfg.model, make_tag(cfg)
+        assert back.train.seq_len == cfg.train.seq_len
+        assert back.train.learning_rate == cfg.train.learning_rate
+        assert back.train.seed == cfg.train.seed
+        assert back.data.norm_ind == cfg.data.norm_ind
+        assert back.data.static_spk == cfg.data.static_spk
