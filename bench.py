@@ -52,7 +52,7 @@ def main():
     # modes: pallas (bf16 fused window kernel, default) | xla (f32
     # nested-scan fallback)
     mode = os.environ.get("BENCH_MODE", "pallas")
-    gen_batch = int(os.environ.get("BENCH_GEN_BATCH", "512"))
+    gen_batch = int(os.environ.get("BENCH_GEN_BATCH", "1024"))
     frames = int(os.environ.get("BENCH_GEN_FRAMES", "100"))  # 0.5 s/utt
     rng = np.random.RandomState(0)
     cond = jnp.asarray(rng.rand(gen_batch, frames, m.effective_cond_dim),
@@ -61,7 +61,7 @@ def main():
     if mode == "pallas":
         gen = generate_fn(params, m, compute_dtype=jnp.bfloat16,
                           use_pallas=True,
-                          pallas_opts={"v2": True, "tile_b": 64})
+                          pallas_opts={"v3": True, "tile_b": 128})
     else:
         gen = generate_fn(params, m)
 

@@ -135,7 +135,7 @@ def main(argv=None):
     if engine == "pallas":
         gen = generate_fn(params, m, compute_dtype=jnp.bfloat16,
                           use_pallas=True,
-                          pallas_opts={"v2": True, "tile_b": 64})
+                          pallas_opts={"v3": True, "tile_b": 128})
     else:
         gen = generate_fn(params, m, unroll=m.frame_sizes[0])
     print(f"generation engine: {engine}")
