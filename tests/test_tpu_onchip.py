@@ -71,3 +71,41 @@ def test_pallas_kernel_on_chip(tpu):
         match += int((np.asarray(s) == out[:, k]).sum())
         buf = jnp2.concatenate([buf[:, 1:], out[:, k][:, None]], axis=1)
     assert match / (batch * fs0) > 0.97, match / (batch * fs0)
+
+
+def test_pallas_v3_matches_v1_on_chip(tpu):
+    """v3 (streamed slot rows, in-kernel PRNG) == v1 (zero noise) under
+    sharpened outputs — exact sample equality."""
+    import jax
+    import jax.numpy as jnp
+    from msnv_tpu.config import ModelConfig
+    from msnv_tpu.models.generate import fused_embed_conv
+    from msnv_tpu.models.samplernn import init_params
+    from msnv_tpu.ops.linear import dense_weight
+    from msnv_tpu.pallas.sample_kernel import (make_sample_window,
+                                               make_sample_window_v3)
+
+    cfg = ModelConfig(frame_sizes=(20, 4), n_rnn=1, dim=256, cond_dim=5,
+                      spk_dim=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    out = params["mlp"]["out"]
+    params["mlp"]["out"] = {"w": out["w"] * 1e6, "b": out["b"] * 1e6}
+    fused = fused_embed_conv(params["mlp"])
+    fs0, q, dim = fused.shape
+    B, tb = 64, 32
+    rng = np.random.RandomState(0)
+    buf0 = jnp.asarray(rng.randint(0, q, (B, fs0)), jnp.int32)
+    slots = jnp.asarray(rng.randn(fs0, B, dim), jnp.float32)
+    table = fused.reshape(fs0 * q, dim)
+    wh = dense_weight(params["mlp"]["hidden"]).T
+    bh = params["mlp"]["hidden"]["b"][None, :]
+    wo = dense_weight(params["mlp"]["out"]).T
+    bo = params["mlp"]["out"]["b"][None, :]
+    slots_tiled = slots.reshape(fs0, B // tb, tb, dim).transpose(1, 0, 2, 3)
+    k3 = make_sample_window_v3(fs0, q, dim, B, tile_b=tb)
+    out3 = np.asarray(k3(jnp.asarray([123], jnp.int32), table, wh, bh, wo,
+                         bo, slots_tiled, buf0))
+    k1 = make_sample_window(fs0, q, dim, B, tile_b=B)
+    noise = jnp.zeros((fs0, B, q), jnp.float32)
+    out1 = np.asarray(k1(table, wh, bh, wo, bo, slots, buf0, noise))
+    assert (out3 == out1).mean() > 0.99
