@@ -67,3 +67,26 @@ def test_tensorboard_plugin(setup, tmp_path):
         pytest.skip("tensorboardX unavailable")
     files = os.listdir(log_dir)
     assert any("tfevents" in f for f in files)
+
+
+def test_plotlog_log_regex_parser(tmp_path):
+    """plotlog falls back to regex-parsing the tee'd log when stats.json is
+    absent (ref plotlog.py capability)."""
+    from msnv_tpu.cli.plotlog import parse_log, main as plot_main
+    log = tmp_path / "log"
+    log.write_text(
+        "experiment tag: x\n"
+        "it 100\ttraining_loss: 4.5000\ttraining_loss/running_avg: 4.6000\n"
+        "it 200\ttraining_loss: 4.2000\ttraining_loss/running_avg: 4.4000\n"
+        "epoch 1\ttraining_loss: 4.2000\tvalidation_loss: 4.3000\t"
+        "test_loss: 4.4000\ttime: 12.3\n")
+    d = parse_log(str(log))
+    assert d["iterations"] == [100, 200]
+    assert d["training_loss"] == [4.5, 4.2]
+    assert d["running_avg"] == [4.6, 4.4]
+    assert d["epochs"] == [1]
+    assert d["validation_loss"] == [4.3]
+    assert d["test_loss"] == [4.4]
+    out = str(tmp_path / "nll.png")
+    plot_main([str(tmp_path), "--out", out])
+    assert os.path.isfile(out)
