@@ -29,24 +29,15 @@ import numpy as np
 
 
 def load_cond_utterance(cond_path: str, name: str):
-    """Load + interpolate one utterance's conditioners (43 dims, un-normalized).
+    """Load + interpolate one utterance's conditioners (43 dims,
+    un-normalized) — ref generate.py:158-171. Track loading is shared with
+    the corpus build (data/corpus.load_cond_tracks)."""
+    from msnv_tpu.data.corpus import load_cond_tracks
 
-    Mirrors ref generate.py:158-171 (same file formats as the training
-    corpus build).
-    """
-    from msnv_tpu.data.corpus import F0_UNVOICED, GV_UNVOICED
-    from msnv_tpu.ops.interpolate import interpolation
-
-    c = np.loadtxt(os.path.join(cond_path, name + ".cc"))
-    c = c.reshape(-1, c.shape[-1])
-    f0, _ = interpolation(np.loadtxt(os.path.join(cond_path, name + ".lf0")),
-                          F0_UNVOICED)
-    fv, uv = interpolation(np.loadtxt(os.path.join(cond_path, name + ".gv")),
-                           GV_UNVOICED)
-    n = min(c.shape[0], len(f0), len(fv))
-    return np.concatenate([
-        c[:n], np.asarray(f0)[:n, None], np.asarray(fv)[:n, None],
-        np.asarray(uv)[:n, None].astype(np.float64)], axis=1)
+    c, f0, fv, uv = load_cond_tracks(cond_path, name)
+    n = min(c.shape[0], f0.shape[0], fv.shape[0])
+    return np.concatenate(
+        [c[:n], f0[:n], fv[:n], uv[:n].astype(np.float64)], axis=1)
 
 
 def main(argv=None):

@@ -199,10 +199,14 @@ def main(argv=None):
     ckpt_dir = os.path.join(results_path, "checkpoints")
     manager = CheckpointManager(ckpt_dir, args.keep_old_checkpoints)
 
-    if args.model:  # warm start (ref train.py:224-233)
-        state, meta = load_checkpoint(args.model, trainer.checkpoint_state())
-        trainer.restore(state, {})  # params only; epochs stay 0
-        print("warm-started from", args.model)
+    if args.model:  # warm start (ref train.py:224-233): WEIGHTS only —
+        # optimizer moments, TBPTT hidden and counters start fresh, and the
+        # checkpoint may come from a run with a different batch size
+        state, meta = load_checkpoint(args.model,
+                                      {"params": trainer.params})
+        trainer.params = state["params"]
+        trainer.opt_state = optimizer.init(trainer.params)
+        print("warm-started (params only) from", args.model)
     elif args.resume and manager.latest() is not None:
         path, epoch, it = manager.latest()
         state, meta = load_checkpoint(path, trainer.checkpoint_state())

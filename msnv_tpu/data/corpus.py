@@ -89,6 +89,29 @@ def _names(cfg: CorpusConfig, partition: str):
     }
 
 
+def load_cond_tracks(cond_path: str, name: str):
+    """Load + interpolate one utterance's Ahocoder tracks.
+
+    Returns (cc (n,40), f0 (n,1), fv (n,1), uv (n,1)) — shared by the
+    corpus build and the generation CLI (ref dataset.py:89-104,
+    generate.py:158-171). Uses the native parser when built; guards the
+    single-line case (np.loadtxt would return 0-d).
+    """
+    from msnv_tpu.data import native
+    c = np.atleast_1d(native.loadtxt(os.path.join(cond_path, name + ".cc")))
+    c = c.reshape(-1, c.shape[-1]) if c.ndim > 1 else c.reshape(1, -1)
+    f0_raw = np.atleast_1d(
+        native.loadtxt(os.path.join(cond_path, name + ".lf0")))
+    f0, _ = interpolation(f0_raw, F0_UNVOICED)
+    f0 = np.asarray(f0).reshape(-1, 1)
+    gv_raw = np.atleast_1d(
+        native.loadtxt(os.path.join(cond_path, name + ".gv")))
+    fv, uv = interpolation(gv_raw, GV_UNVOICED)
+    fv = np.asarray(fv).reshape(-1, 1)
+    uv = np.asarray(uv).reshape(-1, 1)
+    return c, f0, fv, uv
+
+
 def load_utterance(cfg: CorpusConfig, name: str):
     """Load one utterance: returns (audio, cond(43), n_frames_label).
 
@@ -107,15 +130,7 @@ def load_utterance(cfg: CorpusConfig, name: str):
     """
     from msnv_tpu.data import native
     d, _sr = native.read_wav(os.path.join(cfg.wav_path, name + ".wav"))
-    c = native.loadtxt(os.path.join(cfg.cond_path, name + ".cc"))
-    c = c.reshape(-1, c.shape[-1])
-    f0_raw = native.loadtxt(os.path.join(cfg.cond_path, name + ".lf0"))
-    f0, _ = interpolation(f0_raw, F0_UNVOICED)
-    f0 = np.asarray(f0).reshape(-1, 1)
-    gv_raw = native.loadtxt(os.path.join(cfg.cond_path, name + ".gv"))
-    fv, uv = interpolation(gv_raw, GV_UNVOICED)
-    fv = np.asarray(fv).reshape(-1, 1)
-    uv = np.asarray(uv).reshape(-1, 1)
+    c, f0, fv, uv = load_cond_tracks(cfg.cond_path, name)
 
     n_frames_label = fv.shape[0]  # pre-truncation count (quirk, see above)
 

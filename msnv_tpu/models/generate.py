@@ -111,6 +111,13 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
     use_v3 = pallas_opts.get("v3", False)
     cache = {}
 
+    def _pad_batch(x, batch, padded):
+        """Zero-pad the lane axis (axis 0) up to `padded` lanes."""
+        if padded == batch:
+            return x
+        pad = [(0, padded - batch)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad)
+
     if use_v2 or use_v3:
         # v2/v3: one multi-tile grid call, weights fetched once, in-kernel
         # PRNG; v3 streams slot rows per sample so tile_b can reach 128
@@ -121,18 +128,22 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
             buf, hs, key = carry
             batch = slots.shape[0]
             tb = min(v2_tile, batch)
-            n_tiles = batch // tb
-            if batch not in cache:
-                cache[batch] = maker(
-                    fs0, q, cfg.dim, batch, tile_b=tb)
+            # pad to a tile multiple; padded lanes compute garbage that is
+            # sliced away (their windows/slots are zeros — harmless)
+            n_tiles = -(-batch // tb)
+            padded = n_tiles * tb
+            if padded not in cache:
+                cache[padded] = maker(fs0, q, cfg.dim, padded, tile_b=tb)
             key, sub = jax.random.split(key)
             seed = (sub[0] ^ sub[1]).astype(jnp.int32)[None]
-            slots_t = jnp.swapaxes(slots, 0, 1).astype(table.dtype)
+            slots_p = _pad_batch(slots.astype(table.dtype), batch, padded)
+            slots_t = jnp.swapaxes(slots_p, 0, 1)
             slots_tiled = slots_t.reshape(
                 fs0, n_tiles, tb, cfg.dim).transpose(1, 0, 2, 3)
-            samples = cache[batch](
+            window = _pad_batch(buf[:, -fs0:], batch, padded)
+            samples = cache[padded](
                 seed, table, wh.astype(table.dtype), bh, wo, bo,
-                slots_tiled, buf[:, -fs0:])
+                slots_tiled, window)[:batch]
             buf = jnp.concatenate([buf[:, fs0:], samples], axis=1)
             return (buf, hs, key), samples
 
@@ -157,15 +168,24 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
         window = buf[:, -fs0:]
         wh_c = wh.astype(table.dtype)
 
-        n_slices = max(1, batch // tile_b)
-        size = batch // n_slices
+        # pad to a slice multiple so every lane is covered (padded lanes are
+        # computed on zeros and sliced away)
+        n_slices = -(-batch // tile_b)
+        size = -(-batch // n_slices)
+        padded = n_slices * size
+        slots_t = _pad_batch(jnp.swapaxes(slots_t, 0, 1), batch, padded)
+        slots_t = jnp.swapaxes(slots_t, 0, 1)
+        window = _pad_batch(window, batch, padded)
+        noise = jnp.swapaxes(
+            _pad_batch(jnp.swapaxes(noise, 0, 1), batch, padded), 0, 1)
         outs = []
         for i in range(n_slices):
             sl = slice(i * size, (i + 1) * size)
             outs.append(kernel_for(size)(
                 table, wh_c, bh, wo, bo, slots_t[:, sl], window[sl],
                 noise[:, sl]))
-        samples = outs[0] if n_slices == 1 else jnp.concatenate(outs, axis=0)
+        samples = (outs[0] if n_slices == 1
+                   else jnp.concatenate(outs, axis=0))[:batch]
         buf = jnp.concatenate([buf[:, fs0:], samples], axis=1)
         return (buf, hs, key), samples
 

@@ -74,6 +74,12 @@ def load_checkpoint(path: str, template):
             if key not in z:
                 raise KeyError(f"checkpoint {path} has no entry {key}")
             arr = z[key]
+            if hasattr(t, "shape") and tuple(arr.shape) != tuple(t.shape):
+                raise ValueError(
+                    f"checkpoint {path}: shape mismatch at {key}: "
+                    f"saved {tuple(arr.shape)} vs expected "
+                    f"{tuple(t.shape)} — wrong config/tag for this "
+                    f"checkpoint?")
             if hasattr(t, "dtype"):
                 arr = arr.astype(t.dtype)
             # device arrays, not numpy: loaded params feed jitted fns and
@@ -90,7 +96,18 @@ class CheckpointManager:
         self.dir = checkpoints_dir
         self.keep_old = keep_old
         os.makedirs(checkpoints_dir, exist_ok=True)
+        # recover the historical best from an existing best checkpoint's
+        # meta, so a resumed run never overwrites a better past best
         self._best_loss = float("inf")
+        existing = self.best()
+        if existing is not None:
+            try:
+                with np.load(existing[0]) as z:
+                    meta = json.loads(
+                        bytes(z["__meta__"].tobytes()).decode() or "{}")
+                self._best_loss = float(meta.get("val_loss", float("inf")))
+            except Exception:
+                pass
 
     def save_epoch(self, state, epoch: int, iteration: int,
                    val_loss: float | None = None, meta: dict | None = None):

@@ -34,7 +34,7 @@ def lambda_ramp(cfg: TrainConfig, step):
 
 
 def make_gan_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
-                        main_opt, disc_opt):
+                        main_opt, disc_opt, compute_dtype=None):
     """Returns jitted step:
 
     step(params, disc_params, main_opt_state, disc_opt_state, state,
@@ -45,8 +45,13 @@ def make_gan_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
     assert model_cfg.variant == "gan", model_cfg.variant
 
     def forward(params, state, data, reset, cond, spk):
+        if compute_dtype is not None:
+            from msnv_tpu.models.generate import cast_float_tree
+            params = cast_float_tree(params, compute_dtype)
+            state = [s.astype(compute_dtype) for s in state]
         log_probs, new_state, latent = predictor_apply(
             params, model_cfg, data, reset, cond, spk, state)
+        new_state = [s.astype(jnp.float32) for s in new_state]
         return log_probs, new_state, latent
 
     def main_loss(params, disc_params, state, data, reset, cond, spk,
@@ -66,9 +71,11 @@ def make_gan_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
              step_idx, data, reset, target, cond, spk):
         lam = lambda_ramp(train_cfg, step_idx)
 
+        from msnv_tpu.training.step import freeze_h0_grads
         grads, (new_state, l1, latent) = jax.grad(
             main_loss, has_aux=True)(params, disc_params, state, data,
                                      reset, cond, spk, target, lam)
+        grads = freeze_h0_grads(model_cfg, grads)
         updates, main_opt_state = main_opt.update(grads, main_opt_state,
                                                   params)
         params = optax.apply_updates(params, updates)

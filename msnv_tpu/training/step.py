@@ -57,6 +57,7 @@ def make_train_step(cfg: ModelConfig, optimizer, mesh=None, donate=True,
         (loss, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, state, data, reset, cond, spk,
                                    target)
+        grads = freeze_h0_grads(cfg, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, state_stop_gradient(new_state), loss
@@ -92,6 +93,17 @@ def state_stop_gradient(state):
     """TBPTT boundary: no grads flow into the carried state
     (ref model.py:348 `.detach()`)."""
     return jax.tree_util.tree_map(jax.lax.stop_gradient, state)
+
+
+def freeze_h0_grads(cfg: ModelConfig, grads):
+    """learn_h0=False: h0 is a fixed (zero) buffer like the reference's
+    register_buffer path (ref model.py:79-83) — zero its gradients so the
+    optimizer never moves it."""
+    if cfg.learn_h0:
+        return grads
+    for tier in grads["tiers"]:
+        tier["h0"] = jnp.zeros_like(tier["h0"])
+    return grads
 
 
 def make_eval_step(cfg: ModelConfig, mesh=None):

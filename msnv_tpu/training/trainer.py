@@ -42,12 +42,18 @@ class Trainer:
             import jax
             from msnv_tpu.models.discriminator import discriminator_init
             from msnv_tpu.training.gan import make_gan_train_step
+            if mesh is not None:
+                # sharded GAN step is future work (ROADMAP); say so rather
+                # than silently dropping the mesh
+                print("WARNING: mesh parallelism is not yet wired for the "
+                      "GAN step; training single-device", flush=True)
             self.disc_params = discriminator_init(
                 jax.random.PRNGKey(cfg.train.seed + 1), cfg.model.spk_dim)
             self.disc_opt = optimizer  # same clipped-Adam recipe
             self.disc_opt_state = self.disc_opt.init(self.disc_params)
             self._gan_step = make_gan_train_step(
-                cfg.model, cfg.train, optimizer, self.disc_opt)
+                cfg.model, cfg.train, optimizer, self.disc_opt,
+                compute_dtype=compute_dtype)
             self._eval = make_eval_step(cfg.model, mesh=None)
             return
 
