@@ -150,3 +150,15 @@ def test_sharded_generation_pallas_interpret():
     s = np.asarray(seq)
     assert s.shape == (4, 2 * m.lookback)
     assert s.min() >= 0 and s.max() < 256
+
+
+@pytest.mark.slow
+def test_multihost_simulation():
+    """Two separate processes + jax.distributed + one global sharded step
+    (the real multi-host code path, on virtual CPU devices)."""
+    import subprocess, sys, os
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "multihost_sim.py")
+    out = subprocess.run([sys.executable, script], capture_output=True,
+                         text=True, timeout=500)
+    assert "multihost simulation PASSED" in out.stdout, out.stdout
