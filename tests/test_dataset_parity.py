@@ -123,3 +123,20 @@ def test_chunks_match_reference_getitem(corpora):
                                        cond.numpy().astype(np.float32),
                                        atol=1e-6)
             assert int(chunk.spk[lane]) == int(spk[0])
+
+
+def test_load_reference_built_cache(corpora, tmp_path):
+    """Drop-in cache compatibility: our load_corpus reads a npy_datasets/
+    directory written by the REFERENCE FolderDataset."""
+    ref_ds, ours, ours_cfg = corpora
+    # the reference wrote its cache under <root>/refrun/npy_datasets
+    import dataclasses
+    ref_cache = os.path.join(
+        os.path.dirname(ours_cfg.cache_dir), "refrun", "npy_datasets")
+    assert os.path.isfile(os.path.join(ref_cache, "train", "data.npy"))
+    cfg2 = dataclasses.replace(ours_cfg, cache_dir=ref_cache)
+    from msnv_tpu.data.corpus import load_corpus
+    loaded = load_corpus(cfg2, "train")
+    np.testing.assert_allclose(loaded.data, ours.data, atol=1e-7)
+    np.testing.assert_allclose(loaded.cond, ours.cond, atol=1e-10)
+    np.testing.assert_array_equal(loaded.spk, ours.spk)
