@@ -20,6 +20,13 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="samplernn",
+                    help="config preset (use tiny_unconditional for CPU)")
+    ap.add_argument("--per_device_batch", type=int, default=32)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     from msnv_tpu.config import preset
@@ -28,11 +35,11 @@ def main():
     from msnv_tpu.training.optim import make_optimizer
     from msnv_tpu.training.step import make_train_step
 
-    cfg = preset("samplernn")
+    cfg = preset(args.preset)
     m = cfg.model
     devices = jax.devices()
     n_dev = len(devices)
-    per_device_batch = 32
+    per_device_batch = args.per_device_batch
     seq_len = cfg.train.seq_len
 
     params = init_params(jax.random.PRNGKey(0), m)
