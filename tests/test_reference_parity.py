@@ -175,3 +175,46 @@ def test_training_trajectory_parity():
         ref_losses.append(float(l))
 
     np.testing.assert_allclose(ours_losses, ref_losses, atol=2e-3)
+
+
+@pytest.mark.parametrize("frame_sizes,n_rnn", [((4, 4), 1), ((4, 5, 4), 1)])
+def test_generator_sequence_parity(frame_sizes, n_rnn):
+    """THE generator gate: under argmax-dominant (sharpened) sampling, the
+    ACTUAL reference Generator's per-sample Python loop and our nested-scan
+    generator emit IDENTICAL sample sequences — pinning the cond-frame
+    indexing (j = i//lookback - 1), tier slot clocks, q_zero seeding, and
+    output-length quirk directly against the reference."""
+    import contextlib
+    import io
+
+    cfg = ModelConfig(frame_sizes=frame_sizes, n_rnn=n_rnn, dim=16,
+                      cond_dim=7, spk_dim=2)
+    params, _predictor = build_pair(cfg, seed=0)
+    out = params["mlp"]["out"]
+    params["mlp"]["out"] = {"w": out["w"] * 1e6, "b": out["b"] * 1e6}
+
+    from ref_compat import import_reference_model
+    ref_model = import_reference_model()
+    tm = ref_model.SampleRNN(
+        frame_sizes=list(cfg.frame_sizes), n_rnn=cfg.n_rnn, dim=cfg.dim,
+        learn_h0=True, q_levels=256, ulaw=True, weight_norm=False,
+        cond_dim=7, spk_dim=2, qrnn=False)
+    from ref_compat import copy_params_to_torch
+    copy_params_to_torch(params, cfg, tm)
+    gen_ref = ref_model.Generator(tm, cuda=False)
+
+    frames = 4
+    rng = np.random.RandomState(1)
+    cond = rng.rand(frames, 7).astype(np.float32)
+    with contextlib.redirect_stdout(io.StringIO()):  # silences per-sample prints
+        with torch.no_grad():
+            wav_ref = gen_ref(1, frames * cfg.lookback, cond, 1).numpy()[0]
+
+    from msnv_tpu.models.generate import generate_fn
+    audio, _ = generate_fn(params, cfg)(
+        jnp.asarray(cond[None]), jnp.asarray([1], jnp.int32),
+        jax.random.PRNGKey(0))
+    wav_ours = np.asarray(audio[0])
+    assert wav_ref.shape == wav_ours.shape
+    # exact under argmax; tolerate <1% near-tie flips across torch/jax f32
+    assert np.mean(np.abs(wav_ref - wav_ours) > 1e-6) < 0.01
