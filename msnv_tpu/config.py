@@ -32,7 +32,7 @@ class ModelConfig:
     cond_len: int = 80           # audio samples per conditioner frame (5 ms @ 16 kHz)
     spk_dim: int = 6             # number of speakers == speaker-embedding size
     look_ahead: bool = False     # feed next frame's conditioners too (43 -> 86)
-    qrnn: bool = False           # parity flag; both branches build a GRU (ref model.py:133-153)
+    qrnn: bool = False           # fo-pool QRNN tiers (ops/qrnn.py); the reference flag is dead — both its branches build a GRU (ref model.py:133-153)
 
     # Variant head on the conditioner stack (ref doc/Barbany_report.pdf sec 3.2):
     #   "identity"   — plain cond_expand (samplernn)

@@ -34,8 +34,8 @@ import jax.numpy as jnp
 
 from msnv_tpu.config import ModelConfig
 from msnv_tpu.models.conditioner import conditioner_apply
-from msnv_tpu.models.samplernn import dequantize, mlp_conv_weight
-from msnv_tpu.ops.gru import gru_cell
+from msnv_tpu.models.samplernn import (dequantize, mlp_conv_weight,
+                                       rnn_cell)
 from msnv_tpu.ops.linear import dense_apply
 from msnv_tpu.ops.quantize import q_zero
 from msnv_tpu.ops.upsample import upsample_step
@@ -225,7 +225,7 @@ def _make_level(params, cfg: ModelConfig, t: int, fused_table,
         buf, hs, key = carry
         prev = (2.0 * dequantize(cfg, buf[:, -nfs:])).astype(wdtype)
         x = dense_apply(tier["input_expand"], prev) + upper_slot
-        y, h_new = gru_cell(tier["gru"], x, hs[t])
+        y, h_new = rnn_cell(cfg, tier["gru"], x, hs[t])
         hs = tuple(h_new if i == t else h for i, h in enumerate(hs))
         slots = upsample_step(tier["upsample"], y)        # (B, fs, dim)
         if window_sampler is not None:
@@ -270,7 +270,7 @@ def _make_level_forced(params, cfg: ModelConfig, t: int, fused_table):
         buf, hs = carry
         prev = 2.0 * dequantize(cfg, buf[:, -nfs:])
         x = dense_apply(tier["input_expand"], prev) + upper_slot
-        y, h_new = gru_cell(tier["gru"], x, hs[t])
+        y, h_new = rnn_cell(cfg, tier["gru"], x, hs[t])
         hs = tuple(h_new if i == t else h for i, h in enumerate(hs))
         slots = upsample_step(tier["upsample"], y)
         forced_slots = jnp.moveaxis(
@@ -325,7 +325,7 @@ def streaming_fn(params, cfg: ModelConfig, compute_dtype=None,
         c, _ = conditioner_apply(tier["conditioner"], cfg,
                                  cond_j[:, None, :].astype(wdtype))
         x = x + c[:, 0, :] + spk_vec
-        y, h_new = gru_cell(tier["gru"], x, hs[top])
+        y, h_new = rnn_cell(cfg, tier["gru"], x, hs[top])
         hs = tuple(h_new if i == top else h for i, h in enumerate(hs))
         slots = upsample_step(tier["upsample"], y)
         if below is not None:
@@ -391,7 +391,7 @@ def teacher_forced_log_probs(params, cfg: ModelConfig):
         x = dense_apply(tier["input_expand"], prev)
         c, _ = conditioner_apply(tier["conditioner"], cfg, cond_j[:, None, :])
         x = x + c[:, 0, :] + spk_vec
-        y, h_new = gru_cell(tier["gru"], x, hs[top])
+        y, h_new = rnn_cell(cfg, tier["gru"], x, hs[top])
         hs = tuple(h_new if i == top else h for i, h in enumerate(hs))
         slots = upsample_step(tier["upsample"], y)
         fs = cfg.frame_sizes[top]
@@ -473,7 +473,7 @@ def generate_fn(params, cfg: ModelConfig, compute_dtype=None,
         c, _latent = conditioner_apply(tier["conditioner"], cfg,
                                        cond_j[:, None, :].astype(wdtype))
         x = x + c[:, 0, :] + spk_vec
-        y, h_new = gru_cell(tier["gru"], x, hs[top])
+        y, h_new = rnn_cell(cfg, tier["gru"], x, hs[top])
         hs = tuple(h_new if i == top else h for i, h in enumerate(hs))
         slots = upsample_step(tier["upsample"], y)        # (B, fs_top, dim)
         if below is not None:

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 
 from msnv_tpu.config import ModelConfig
 from msnv_tpu.models.conditioner import conditioner_init, conditioner_apply
-from msnv_tpu.ops.gru import gru_init, gru_apply
+from msnv_tpu.ops.gru import gru_init, gru_apply, gru_cell
+from msnv_tpu.ops.qrnn import qrnn_init, qrnn_apply, qrnn_cell
 from msnv_tpu.ops.linear import (
     dense_init, dense_apply, dense_weight, kaiming_uniform, lecun_uniform,
     normal,
@@ -49,6 +50,28 @@ def dequantize(cfg: ModelConfig, x):
     if cfg.ulaw:
         return udequantize(x, cfg.q_levels)
     return linear_dequantize(x, cfg.q_levels)
+
+
+# --------------------------------------------------------------------------
+# Recurrent-cell dispatch: GRU (default) or fo-pool QRNN (cfg.qrnn).
+# The reference's qrnn flag is dead (both branches build a GRU, ref
+# model.py:133-153); here it selects a real QRNN (ops/qrnn.py). Both cells
+# share the (n_layers, B, H) state layout, so everything downstream
+# (TBPTT pytree, learned-h0 reset, checkpoints) is cell-agnostic.
+# --------------------------------------------------------------------------
+
+def rnn_init(cfg: ModelConfig, key, n_layers, in_dim, hidden,
+             dtype=jnp.float32):
+    init = qrnn_init if cfg.qrnn else gru_init
+    return init(key, n_layers, in_dim, hidden, dtype=dtype)
+
+
+def rnn_apply(cfg: ModelConfig, params, x, h0):
+    return (qrnn_apply if cfg.qrnn else gru_apply)(params, x, h0)
+
+
+def rnn_cell(cfg: ModelConfig, params, x, h):
+    return (qrnn_cell if cfg.qrnn else gru_cell)(params, x, h)
 
 
 # --------------------------------------------------------------------------
@@ -76,7 +99,8 @@ def init_params(key, cfg: ModelConfig, dtype=jnp.float32):
                                        init=kaiming_uniform,
                                        weight_norm=cfg.weight_norm,
                                        dtype=dtype),
-            "gru": gru_init(k_gru, cfg.n_rnn, cfg.dim, cfg.dim, dtype=dtype),
+            "gru": rnn_init(cfg, k_gru, cfg.n_rnn, cfg.dim, cfg.dim,
+                            dtype=dtype),
             # expand tier output to the lower tier's frame rate
             # (ref model.py:167-178, nn.py:7-43)
             "upsample": upsample_init(k_up, cfg.dim, fs, cfg.dim,
@@ -153,7 +177,7 @@ def _tier_forward(tier_params, cfg: ModelConfig, prev_frames, upper_cond,
         spk_embed = tier_params["spk_embedding"][spk]          # (B, spk_dim)
         spk_vec = dense_apply(tier_params["spk_expand"], spk_embed)
         x = x + spk_vec[:, None, :]                            # broadcast over T
-    y, new_hidden = gru_apply(tier_params["gru"], x, hidden)
+    y, new_hidden = rnn_apply(cfg, tier_params["gru"], x, hidden)
     out = upsample_apply(tier_params["upsample"], y)
     return out, new_hidden, latent
 
