@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--variant", default="identity",
                    choices=["identity", "bottleneck", "gan"])
     p.add_argument("--ind_cond_dim", type=int, default=50)
+    p.add_argument("--cond_source", default="ahocoder",
+                   choices=["ahocoder", "mel"],
+                   help="conditioner front-end: reference Ahocoder tracks "
+                        "or the Ahocoder-free log-mel adapter (data/mel.py)")
     p.add_argument("--datasets_path", default="datasets")
     p.add_argument("--cond_path", default=None)
     p.add_argument("--dataset", default="wav/")
@@ -147,7 +151,8 @@ def main(argv=None):
         batch_size=args.batch_size, cond_dim=args.cond_dim,
         cond_len=args.cond_len, norm_ind=args.norm_ind,
         static_spk=args.static_spk, look_ahead=args.look_ahead,
-        cache_dir=os.path.join(args.datasets_path, "npy_datasets"))
+        cache_dir=os.path.join(args.datasets_path, "npy_datasets"),
+        cond_source=args.cond_source)
 
     corpus = build_corpus(ccfg, "train")
     spk_dim = len(corpus.spk_ids)

@@ -61,6 +61,9 @@ class CorpusConfig:
     static_spk: bool = False
     look_ahead: bool = False
     cache_dir: str = "npy_datasets"
+    # "ahocoder" (reference .cc/.lf0/.gv tracks) or "mel" (Ahocoder-free
+    # log-mel front-end, msnv_tpu/data/mel.py — cond_dim = n_mels)
+    cond_source: str = "ahocoder"
 
 
 @dataclass
@@ -77,6 +80,9 @@ class Corpus:
 
 def _names(cfg: CorpusConfig, partition: str):
     st = "_static" if cfg.static_spk else ""
+    if cfg.cond_source != "ahocoder":
+        # mel caches must never alias the Ahocoder caches
+        st = f"_{cfg.cond_source}{st}"
     norm = "_ind" if cfg.norm_ind else "_joint"
     d = os.path.join(cfg.cache_dir, partition)
     return {
@@ -130,6 +136,21 @@ def load_utterance(cfg: CorpusConfig, name: str):
     """
     from msnv_tpu.data import native
     d, _sr = native.read_wav(os.path.join(cfg.wav_path, name + ".wav"))
+
+    if cfg.cond_source == "mel":
+        # Ahocoder-free path: sync the audio first (same pad/truncate rule),
+        # then derive conditioners from the waveform itself — one log-mel
+        # frame per cond_len samples (msnv_tpu/data/mel.py). No label-drift
+        # quirk here: there is no pre-truncation track to miscount.
+        from msnv_tpu.data.mel import mel_cond_track
+        oversize = d.shape[0] % cfg.cond_len
+        if oversize >= 60:
+            d = np.append(d, np.zeros(cfg.cond_len - oversize, dtype=d.dtype))
+        elif oversize != 0:
+            d = d[:-oversize]
+        cond = mel_cond_track(d, cfg.cond_dim, cfg.cond_len)
+        return d, cond, cond.shape[0]
+
     c, f0, fv, uv = load_cond_tracks(cfg.cond_path, name)
 
     n_frames_label = fv.shape[0]  # pre-truncation count (quirk, see above)
