@@ -25,7 +25,7 @@ def main(argv=None):
     from msnv_tpu.data.corpus import CorpusConfig, build_corpus
     from msnv_tpu.data.loader import ChunkLoader
     from msnv_tpu.models.samplernn import init_params, init_tier_state
-    from msnv_tpu.training.checkpoint import load_checkpoint
+    from msnv_tpu.training.checkpoint import load_any as load_checkpoint
     from msnv_tpu.training.step import make_eval_step
 
     p = argparse.ArgumentParser()

@@ -48,7 +48,7 @@ def main(argv=None):
     from msnv_tpu.data.wavio import write_wav
     from msnv_tpu.models.generate import generate_fn
     from msnv_tpu.models.samplernn import init_params
-    from msnv_tpu.training.checkpoint import load_checkpoint
+    from msnv_tpu.training.checkpoint import load_any as load_checkpoint
 
     p = argparse.ArgumentParser()
     p.add_argument("--model", required=True, help="checkpoint .npz path")

@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=1e-3)
     p.add_argument("--resume", type=parse_bool, default=True)
     p.add_argument("--keep_old_checkpoints", type=parse_bool, default=False)
+    p.add_argument("--ckpt_backend", default="npz", choices=["npz", "orbax"],
+                   help="npz: single-file host-0 checkpoints; orbax: "
+                        "directory checkpoints with collective multi-host "
+                        "sharded save/restore")
     p.add_argument("--loss_smoothing", type=float, default=0.99)
     p.add_argument("--seed", type=int, default=77977)
     p.add_argument("--scheduler", type=parse_bool, default=False)
@@ -124,7 +128,8 @@ def main(argv=None):
     import jax
     from msnv_tpu.models.samplernn import init_params
     from msnv_tpu.parallel.mesh import make_mesh
-    from msnv_tpu.training.checkpoint import CheckpointManager, load_checkpoint
+    from msnv_tpu.training.checkpoint import (CheckpointManager,
+                                                load_any as load_checkpoint)
     from msnv_tpu.training.optim import make_optimizer
     from msnv_tpu.training.plugins import (AbsoluteTimeMonitor, Logger,
                                            SaverPlugin, StatsPlugin,
@@ -202,7 +207,8 @@ def main(argv=None):
                       compute_dtype=jnp.bfloat16 if args.bf16 else None)
 
     ckpt_dir = os.path.join(results_path, "checkpoints")
-    manager = CheckpointManager(ckpt_dir, args.keep_old_checkpoints)
+    manager = CheckpointManager(ckpt_dir, args.keep_old_checkpoints,
+                                backend=args.ckpt_backend)
 
     if args.model:  # warm start (ref train.py:224-233): WEIGHTS only —
         # optimizer moments, TBPTT hidden and counters start fresh, and the

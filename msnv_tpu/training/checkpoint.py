@@ -15,6 +15,12 @@ trainer/plugins.py:113-155 + train.py:110-126):
 Format: a single .npz with positionally-indexed leaves + a JSON meta entry.
 Restore requires a template pytree with the same structure (the caller
 rebuilds model/optimizer from the experiment tag, like ref generate.py does).
+
+Alternative backend="orbax" (CheckpointManager / save_checkpoint_orbax):
+`ep{E}-it{I}.orbax/` directories written by orbax.checkpoint — for
+multi-host sharded training every process writes its own shards
+collectively and restore places shards per the template's shardings,
+instead of funnelling the whole state through host 0 as one npz.
 """
 
 from __future__ import annotations
@@ -24,14 +30,15 @@ import io
 import json
 import os
 import re
+import shutil
 
 import jax
 import numpy as np
 
 LAST_PATTERN = "ep{}-it{}.npz"                    # ref plugins.py:117
 BEST_PATTERN = "best-ep{}-it{}.npz"               # ref plugins.py:118
-_LAST_RE = re.compile(r"^ep(\d+)-it(\d+)\.npz$")
-_BEST_RE = re.compile(r"^best-ep(\d+)-it(\d+)\.npz$")
+_LAST_RE = re.compile(r"^ep(\d+)-it(\d+)\.(npz|orbax)$")
+_BEST_RE = re.compile(r"^best-ep(\d+)-it(\d+)\.(npz|orbax)$")
 
 
 def _path_key(path) -> str:
@@ -89,12 +96,77 @@ def load_checkpoint(path: str, template):
     return state, meta
 
 
-class CheckpointManager:
-    """last/best retention policy over a checkpoints directory."""
+def save_checkpoint_orbax(path: str, state, meta: dict | None = None) -> None:
+    """Save `state` as an orbax checkpoint directory at `path`.
 
-    def __init__(self, checkpoints_dir: str, keep_old: bool = False):
+    Multi-host: call from ALL processes (orbax saves collectively; each host
+    writes the shards it owns). `meta` lands in `<path>/msnv_meta.json`,
+    written by process 0 after the collective save finalizes.
+    """
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, state)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "msnv_meta.json"), "w") as f:
+            json.dump(meta or {}, f)
+
+
+def load_checkpoint_orbax(path: str, template):
+    """Restore an orbax checkpoint into `template`'s structure.
+
+    Template leaves that are sharded jax.Arrays (or ShapeDtypeStructs with
+    shardings) restore directly to those shardings — the multi-host resume
+    path never materializes the full state on one host.
+    """
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        state = ckptr.restore(path, item=template)
+    meta_path = os.path.join(path, "msnv_meta.json")
+    meta = {}
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def _load_meta(path: str) -> dict:
+    """Read just the meta dict from either checkpoint format."""
+    if path.endswith(".orbax"):
+        meta_path = os.path.join(path, "msnv_meta.json")
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                return json.load(f)
+        return {}
+    with np.load(path) as z:
+        return json.loads(bytes(z["__meta__"].tobytes()).decode() or "{}")
+
+
+def load_any(path: str, template):
+    """Format-dispatching load: .orbax dir or .npz file."""
+    if path.endswith(".orbax"):
+        return load_checkpoint_orbax(path, template)
+    return load_checkpoint(path, template)
+
+
+class CheckpointManager:
+    """last/best retention policy over a checkpoints directory.
+
+    backend: "npz" (default, single-file, host-0 gather) or "orbax"
+    (directory checkpoints, collective multi-host sharded save/restore).
+    Both formats are discovered by latest()/best(), so a run can switch
+    backends and still resume from its history.
+    """
+
+    def __init__(self, checkpoints_dir: str, keep_old: bool = False,
+                 backend: str = "npz"):
+        assert backend in ("npz", "orbax"), backend
         self.dir = checkpoints_dir
         self.keep_old = keep_old
+        self.backend = backend
         os.makedirs(checkpoints_dir, exist_ok=True)
         # recover the historical best from an existing best checkpoint's
         # meta, so a resumed run never overwrites a better past best
@@ -102,29 +174,43 @@ class CheckpointManager:
         existing = self.best()
         if existing is not None:
             try:
-                with np.load(existing[0]) as z:
-                    meta = json.loads(
-                        bytes(z["__meta__"].tobytes()).decode() or "{}")
+                meta = _load_meta(existing[0])
                 self._best_loss = float(meta.get("val_loss", float("inf")))
             except Exception:
                 pass
+
+    def _save(self, path, state, meta):
+        if self.backend == "orbax":
+            save_checkpoint_orbax(path, state, meta)
+        else:
+            save_checkpoint(path, state, meta)
+
+    @staticmethod
+    def _remove(path):
+        (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
+
+    def _fmt(self, pattern, epoch, iteration):
+        name = pattern.format(epoch, iteration)
+        if self.backend == "orbax":
+            name = name[:-len(".npz")] + ".orbax"
+        return os.path.join(self.dir, name)
 
     def save_epoch(self, state, epoch: int, iteration: int,
                    val_loss: float | None = None, meta: dict | None = None):
         meta = dict(meta or {}, epoch=epoch, iteration=iteration)
         if not self.keep_old:
-            for p in glob.glob(os.path.join(self.dir, "ep*-it*.npz")):
+            for p in glob.glob(os.path.join(self.dir, "ep*-it*.*")):
                 if _LAST_RE.match(os.path.basename(p)):
-                    os.remove(p)
-        path = os.path.join(self.dir, LAST_PATTERN.format(epoch, iteration))
-        save_checkpoint(path, state, meta)
+                    self._remove(p)
+        path = self._fmt(LAST_PATTERN, epoch, iteration)
+        self._save(path, state, meta)
         if val_loss is not None and val_loss < self._best_loss:
             self._best_loss = val_loss
-            for p in glob.glob(os.path.join(self.dir, "best-ep*-it*.npz")):
-                os.remove(p)
-            best = os.path.join(self.dir,
-                                BEST_PATTERN.format(epoch, iteration))
-            save_checkpoint(best, state, dict(meta, val_loss=val_loss))
+            for p in glob.glob(os.path.join(self.dir, "best-ep*-it*.*")):
+                if _BEST_RE.match(os.path.basename(p)):
+                    self._remove(p)
+            best = self._fmt(BEST_PATTERN, epoch, iteration)
+            self._save(best, state, dict(meta, val_loss=val_loss))
         return path
 
     def latest(self):
@@ -134,7 +220,7 @@ class CheckpointManager:
         (ref train.py:110-126).
         """
         found = []
-        for p in glob.glob(os.path.join(self.dir, "ep*-it*.npz")):
+        for p in glob.glob(os.path.join(self.dir, "ep*-it*.*")):
             m = _LAST_RE.match(os.path.basename(p))
             if m:
                 found.append((int(m.group(1)), int(m.group(2)), p))
@@ -145,7 +231,7 @@ class CheckpointManager:
 
     def best(self):
         found = []
-        for p in glob.glob(os.path.join(self.dir, "best-ep*-it*.npz")):
+        for p in glob.glob(os.path.join(self.dir, "best-ep*-it*.*")):
             m = _BEST_RE.match(os.path.basename(p))
             if m:
                 found.append((int(m.group(1)), int(m.group(2)), p))
