@@ -32,6 +32,10 @@ class ModelConfig:
     cond_len: int = 80           # audio samples per conditioner frame (5 ms @ 16 kHz)
     spk_dim: int = 6             # number of speakers == speaker-embedding size
     look_ahead: bool = False     # feed next frame's conditioners too (43 -> 86)
+    # recurrent-sweep engine for training/eval tier GRUs: "xla" (lax.scan)
+    # or "pallas" (fused kernel, pallas/gru_kernel.py — w_hh VMEM-resident
+    # across timesteps). Numerics-equivalent; not part of the experiment tag.
+    gru_impl: str = "xla"
     qrnn: bool = False           # fo-pool QRNN tiers (ops/qrnn.py); the reference flag is dead — both its branches build a GRU (ref model.py:133-153)
 
     # Variant head on the conditioner stack (ref doc/Barbany_report.pdf sec 3.2):

@@ -67,7 +67,9 @@ def rnn_init(cfg: ModelConfig, key, n_layers, in_dim, hidden,
 
 
 def rnn_apply(cfg: ModelConfig, params, x, h0):
-    return (qrnn_apply if cfg.qrnn else gru_apply)(params, x, h0)
+    if cfg.qrnn:
+        return qrnn_apply(params, x, h0)
+    return gru_apply(params, x, h0, impl=cfg.gru_impl)
 
 
 def rnn_cell(cfg: ModelConfig, params, x, h):

@@ -53,12 +53,36 @@ def gru_init(key, n_layers: int, in_dim: int, hidden: int, dtype=jnp.float32):
     return layers
 
 
-def _layer_apply(p, x, h0):
-    """One GRU layer. x: (B, T, d_in), h0: (B, H) -> (y (B, T, H), hT)."""
+def _layer_apply(p, x, h0, impl: str = "xla"):
+    """One GRU layer. x: (B, T, d_in), h0: (B, H) -> (y (B, T, H), hT).
+
+    impl="pallas" routes the recurrent sweep through the fused Pallas
+    kernel (msnv_tpu/pallas/gru_kernel.py): w_hh VMEM-resident across all
+    timesteps instead of re-fetched from HBM per scan step. Falls back to
+    the XLA scan for unsupported shapes. Interpret mode (CPU) runs the
+    kernel in f32 for exactness; on TPU the matmuls are bf16-in/f32-acc —
+    the same precision XLA's default gives f32 matmuls.
+    """
     hidden = h0.shape[-1]
     # All-timestep input projection: one MXU matmul (B*T, d_in)x(d_in, 3H).
     x_proj = jnp.einsum("bti,gi->btg", x, p["w_ih"],
                         preferred_element_type=x.dtype) + p["b_ih"]
+
+    if impl == "pallas":
+        from msnv_tpu.pallas.gru_kernel import gru_layer, supported
+        B = x.shape[0]
+        if supported(B, hidden):
+            on_tpu = jax.default_backend() == "tpu"
+            ys, hT = gru_layer(
+                jnp.swapaxes(x_proj, 0, 1).astype(jnp.float32),
+                p["w_hh"].T.astype(jnp.float32),
+                p["b_hh"].astype(jnp.float32),
+                h0.astype(jnp.float32),
+                jnp.bfloat16 if on_tpu else jnp.float32,
+                not on_tpu,
+            )
+            return (jnp.swapaxes(ys, 0, 1).astype(x.dtype),
+                    hT.astype(x.dtype))
 
     w_hh_t = p["w_hh"].T  # (H, 3H)
     b_hh = p["b_hh"]
@@ -79,13 +103,14 @@ def _layer_apply(p, x, h0):
     return jnp.swapaxes(ys, 0, 1), hT
 
 
-def gru_apply(params, x, h0):
+def gru_apply(params, x, h0, impl: str = "xla"):
     """Multi-layer GRU.
 
     Args:
       params: list of per-layer dicts from `gru_init`.
       x: (B, T, d_in).
       h0: (n_layers, B, H) initial hidden.
+      impl: "xla" (lax.scan) or "pallas" (fused kernel, see _layer_apply).
 
     Returns:
       (y (B, T, H) — last layer outputs, h (n_layers, B, H)).
@@ -93,7 +118,7 @@ def gru_apply(params, x, h0):
     h_out = []
     y = x
     for layer, p in enumerate(params):
-        y, hT = _layer_apply(p, y, h0[layer])
+        y, hT = _layer_apply(p, y, h0[layer], impl=impl)
         h_out.append(hT)
     return y, jnp.stack(h_out)
 
