@@ -293,3 +293,31 @@ class StatsPlugin(Plugin):
         ax.legend()
         fig.savefig(os.path.join(self.results_path, "loss.svg"))
         plt.close(fig)
+
+
+class ExperimentLoggerPlugin(Plugin):
+    """Per-epoch metric push to an external experiment tracker.
+
+    Parity with the reference's CometPlugin (ref trainer/plugins.py:286-303
+    — defined upstream but never wired into train.py): `experiment` is any
+    object with `log_metric(name, value)` and optionally
+    `log_epoch_end(epoch_index)` — a comet_ml Experiment satisfies both, as
+    does mlflow via a two-line adapter. Fields are stat names, optionally
+    (name, stat) with stat in {"last", "epoch_mean", "running_avg"}.
+    """
+
+    schedule = ((1, "epoch"),)
+
+    def __init__(self, experiment, fields):
+        self.experiment = experiment
+        self.fields = [f if isinstance(f, tuple) else (f, "last")
+                       for f in fields]
+
+    def epoch(self, epoch_index: int):
+        for field, stat in self.fields:
+            value = self.trainer.stats.get(field, {}).get(stat)
+            if value is not None:
+                self.experiment.log_metric(field, value)
+        end = getattr(self.experiment, "log_epoch_end", None)
+        if end is not None:
+            end(epoch_index)

@@ -90,3 +90,32 @@ def test_plotlog_log_regex_parser(tmp_path):
     out = str(tmp_path / "nll.png")
     plot_main([str(tmp_path), "--out", out])
     assert os.path.isfile(out)
+
+
+def test_experiment_logger_plugin():
+    """ExperimentLoggerPlugin pushes per-epoch stats to any tracker object
+    with log_metric (CometPlugin parity, ref trainer/plugins.py:286-303)."""
+    from msnv_tpu.training.plugins import ExperimentLoggerPlugin
+
+    class FakeExperiment:
+        def __init__(self):
+            self.metrics, self.epochs = [], []
+
+        def log_metric(self, name, value):
+            self.metrics.append((name, value))
+
+        def log_epoch_end(self, epoch_index):
+            self.epochs.append(epoch_index)
+
+    class FakeTrainer:
+        stats = {"training_loss": {"last": 1.25, "epoch_mean": 1.5},
+                 "validation_loss": {"last": 2.0}}
+
+    exp = FakeExperiment()
+    plugin = ExperimentLoggerPlugin(
+        exp, ["validation_loss", ("training_loss", "epoch_mean")])
+    plugin.register(FakeTrainer())
+    plugin.epoch(3)
+    assert ("validation_loss", 2.0) in exp.metrics
+    assert ("training_loss", 1.5) in exp.metrics
+    assert exp.epochs == [3]
