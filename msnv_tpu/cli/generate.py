@@ -40,6 +40,19 @@ def load_cond_utterance(cond_path: str, name: str):
         [c[:n], f0[:n], fv[:n], uv[:n].astype(np.float64)], axis=1)
 
 
+def load_mel_utterance(wav_path: str, name: str, cond_dim: int,
+                       cond_len: int):
+    """Ahocoder-free copy-synthesis conditioning: derive the log-mel track
+    from <name>.wav itself (same front-end the cond_source="mel" corpus
+    build uses, so the saved training min/max applies)."""
+    from msnv_tpu.data import native
+    from msnv_tpu.data.mel import mel_cond_track
+
+    d, _sr = native.read_wav(os.path.join(wav_path, name + ".wav"))
+    d = d[: (d.shape[0] // cond_len) * cond_len]
+    return mel_cond_track(d, cond_dim, cond_len)
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -65,6 +78,11 @@ def main(argv=None):
                         "checkpoint's experiment tag")
     p.add_argument("--out_dir", default=None)
     p.add_argument("--seed", type=int, default=77977)
+    p.add_argument("--cond_source", default="ahocoder",
+                   choices=["ahocoder", "mel"],
+                   help="mel: cond_path holds <utt>.wav files and "
+                        "conditioners are log-mel tracks computed from "
+                        "them (models trained with --cond_source mel)")
     p.add_argument("--engine", default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="auto = fused Pallas kernel (bf16) on TPU, XLA f32 "
@@ -88,15 +106,20 @@ def main(argv=None):
         spks = [int(s) for s in f.read().split()]
     assert len(utts) == len(spks), "cond/spk list length mismatch"
 
+    mel_sfx = "_mel" if args.cond_source == "mel" else ""
     mm_path = args.min_max or os.path.join(
         "npy_datasets",
-        "min_max_ind.npy" if args.norm_ind else "min_max_joint.npy")
+        f"min_max_{'ind' if args.norm_ind else 'joint'}{mel_sfx}.npy")
     mm = np.load(mm_path)
     min_cond, max_cond = mm[0], mm[1]
 
     conds = []
     for name, spk in zip(utts, spks):
-        cond = load_cond_utterance(args.cond_path, name)
+        if args.cond_source == "mel":
+            cond = load_mel_utterance(args.cond_path, name, m.cond_dim,
+                                      m.cond_len)
+        else:
+            cond = load_cond_utterance(args.cond_path, name)
         cond = normalize_cond(cond, min_cond, max_cond,
                               speaker=spk, norm_ind=args.norm_ind)
         if m.look_ahead:

@@ -135,3 +135,65 @@ def test_mel_corpus_trains(mel_env):
                          jnp.asarray(chunk.target), jnp.asarray(chunk.cond),
                          jnp.asarray(chunk.spk))
     assert np.isfinite(float(loss))
+
+
+def test_mel_train_and_generate_cli(tmp_path):
+    """Full Ahocoder-free loop through the CLIs: train with
+    --cond_source mel, then copy-synthesis generation conditioned on
+    log-mel tracks computed from the WAVs themselves."""
+    root = str(tmp_path)
+    data_dir = os.path.join(root, "datasets")
+    os.makedirs(data_dir)
+    make_synthetic_corpus(data_dir, n_speakers=2, utts_per_speaker=2,
+                          frames_per_utt=150, cond_len=16,
+                          partitions=("train", "validation", "test"))
+    results = os.path.join(root, "results")
+
+    from msnv_tpu.cli.train import main as train_main
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        train_main([
+            "--exp", "melcli", "--frame_sizes", "4", "4",
+            "--n_rnn", "1", "--dim", "32", "--seq_len", "64",
+            "--batch_size", "4", "--cond_len", "16", "--cond_dim", "24",
+            "--norm_ind", "false", "--datasets_path", data_dir,
+            "--dataset", "wav/", "--cond_set", "cond/",
+            "--results_path", results, "--epoch_limit", "1",
+            "--learning_rate", "2e-3", "--cond_source", "mel",
+        ])
+    finally:
+        os.chdir(cwd)
+
+    exp_dir = os.path.join(results, os.listdir(results)[0])
+    ckpts = [c for c in os.listdir(os.path.join(exp_dir, "checkpoints"))
+             if c.startswith("best-")]
+    model_path = os.path.join(exp_dir, "checkpoints", ckpts[0])
+
+    names = sorted(os.path.splitext(f)[0] for f in
+                   os.listdir(os.path.join(data_dir, "wav")))[:2]
+    gen_cond = os.path.join(root, "generate_cond.list")
+    gen_spk = os.path.join(root, "generate_spk.list")
+    with open(gen_cond, "w") as f:
+        f.write("\n".join(names))
+    with open(gen_spk, "w") as f:
+        f.write("\n".join(["0", "1"][:len(names)]))
+
+    out_dir = os.path.join(root, "gen_out")
+    from msnv_tpu.cli.generate import main as gen_main
+    gen_main([
+        "--model", model_path,
+        "--cond_path", os.path.join(data_dir, "wav"),   # WAVs, not Ahocoder
+        "--cond_source", "mel",
+        "--cond_list", gen_cond, "--spk_list", gen_spk,
+        "--min_max", os.path.join(data_dir, "npy_datasets",
+                                  "min_max_joint_mel.npy"),
+        "--out_dir", out_dir,
+    ])
+    from msnv_tpu.data.wavio import read_wav
+    wavs = os.listdir(out_dir)
+    assert len(wavs) == len(names)
+    for w in wavs:
+        audio, sr = read_wav(os.path.join(out_dir, w))
+        assert sr == 16000 and audio.shape[0] > 0
+        assert np.isfinite(audio).all()
