@@ -91,7 +91,11 @@ def main():
     tcond = jnp.asarray(rng.rand(train_batch, seq_len // m.lookback,
                                  m.effective_cond_dim), jnp.float32)
     tspk = jnp.asarray(rng.randint(0, m.spk_dim, (train_batch,)), jnp.int32)
-    step = make_train_step(m, optimizer, donate=False)
+    # train with the fused Pallas GRU layer (BENCH_GRU_IMPL=xla to compare)
+    import dataclasses
+    gru_impl = os.environ.get("BENCH_GRU_IMPL", "pallas")
+    step = make_train_step(dataclasses.replace(m, gru_impl=gru_impl),
+                           optimizer, donate=False)
     out = step(params, opt_state, state, data, jnp.asarray(True), target,
                tcond, tspk)
     out[3].block_until_ready()

@@ -127,7 +127,9 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
         def run(carry, slots):
             buf, hs, key = carry
             batch = slots.shape[0]
-            tb = min(v2_tile, batch)
+            # at least 8 lanes per tile (sublane minimum — Mosaic cannot
+            # tile 1-2 lane blocks); small batches are zero-padded up
+            tb = max(min(v2_tile, batch), 8)
             # pad to a tile multiple; padded lanes compute garbage that is
             # sliced away (their windows/slots are zeros — harmless)
             n_tiles = -(-batch // tb)

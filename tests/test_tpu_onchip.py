@@ -109,3 +109,28 @@ def test_pallas_v3_matches_v1_on_chip(tpu):
     noise = jnp.zeros((fs0, B, q), jnp.float32)
     out1 = np.asarray(k1(table, wh, bh, wo, bo, slots, buf0, noise))
     assert (out3 == out1).mean() > 0.99
+
+
+def test_small_batch_generation_on_chip(tpu):
+    """v3 pallas generation at batch 1 and 3 (below the 8-sublane minimum):
+    the wrapper pads lanes up to a legal tile instead of handing Mosaic
+    1-2 lane blocks."""
+    import jax
+    import jax.numpy as jnp
+    from msnv_tpu.config import ModelConfig
+    from msnv_tpu.models.generate import generate_fn
+    from msnv_tpu.models.samplernn import init_params
+
+    cfg = ModelConfig(frame_sizes=(20, 4), n_rnn=1, dim=256, cond_dim=5,
+                      spk_dim=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    gen = generate_fn(params, cfg, compute_dtype=jnp.bfloat16,
+                      use_pallas=True, pallas_opts={"v3": True})
+    rng = np.random.RandomState(0)
+    for batch in (1, 3):
+        cond = jnp.asarray(rng.rand(batch, 2, cfg.effective_cond_dim),
+                           jnp.float32)
+        spk = jnp.asarray(rng.randint(0, cfg.spk_dim, (batch,)), jnp.int32)
+        audio, seq = gen(cond, spk, jax.random.PRNGKey(1))
+        assert seq.shape == (batch, 2 * cfg.lookback)
+        assert int(seq.min()) >= 0 and int(seq.max()) < cfg.q_levels
