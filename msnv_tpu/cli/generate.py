@@ -161,7 +161,9 @@ def main(argv=None):
     out_dir = args.out_dir or os.path.join(os.path.dirname(
         os.path.dirname(os.path.abspath(args.model))), "samples")
     os.makedirs(out_dir, exist_ok=True)
-    ckpt_name = os.path.basename(args.model).replace(".npz", "")
+    ckpt_name = os.path.basename(os.path.normpath(args.model))
+    for ext in (".npz", ".orbax"):
+        ckpt_name = ckpt_name.removesuffix(ext)
     for i, (name, spk) in enumerate(zip(utts, spks)):
         wav = audio[i, : lengths[i] * m.lookback]
         out = os.path.join(out_dir,

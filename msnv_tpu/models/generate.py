@@ -127,9 +127,10 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
         def run(carry, slots):
             buf, hs, key = carry
             batch = slots.shape[0]
-            # at least 8 lanes per tile (sublane minimum — Mosaic cannot
-            # tile 1-2 lane blocks); small batches are zero-padded up
-            tb = max(min(v2_tile, batch), 8)
+            # tiles must be a multiple of the 8-lane sublane minimum
+            # (Mosaic cannot lower odd-sized lane blocks); batches below /
+            # between multiples are zero-padded up and sliced away
+            tb = -(-max(min(v2_tile, batch), 8) // 8) * 8
             # pad to a tile multiple; padded lanes compute garbage that is
             # sliced away (their windows/slots are zeros — harmless)
             n_tiles = -(-batch // tb)

@@ -55,10 +55,11 @@ def _gates(xp, hproj, h, H):
     return r, z, n, hn
 
 
-def _fwd_kernel(mxu_dtype, H, xp_ref, w_ref, b_ref, h0_ref, ys_ref,
-                hproj_ref, h_scr):
-    """Grid step t: h' = GRU(h, x_proj[t]); emits y_t and the hproj_t
-    residual for the backward sweep."""
+def _fwd_kernel(mxu_dtype, H, with_residual, xp_ref, w_ref, b_ref, h0_ref,
+                ys_ref, *rest):
+    """Grid step t: h' = GRU(h, x_proj[t]); emits y_t (and, on the
+    training forward, the hproj_t residual for the backward sweep)."""
+    hproj_ref, h_scr = (rest if with_residual else (None, rest[0]))
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -73,7 +74,8 @@ def _fwd_kernel(mxu_dtype, H, xp_ref, w_ref, b_ref, h0_ref, ys_ref,
     h_new = (1.0 - z) * n + z * h
     h_scr[:, :] = h_new
     ys_ref[0] = h_new
-    hproj_ref[0] = hproj
+    if with_residual:
+        hproj_ref[0] = hproj
 
 
 def _bwd_kernel(mxu_dtype, H, xp_ref, hproj_ref, hprev_ref, dy_ref, wt_ref,
@@ -106,13 +108,20 @@ def _bwd_kernel(mxu_dtype, H, xp_ref, hproj_ref, hprev_ref, dy_ref, wt_ref,
     dh0_ref[:, :] = dh          # final grid step's write survives
 
 
-def _fwd_impl(x_proj, w_hh_t, b_hh, h0, mxu_dtype, interpret):
+def _fwd_impl(x_proj, w_hh_t, b_hh, h0, mxu_dtype, interpret,
+              with_residual=True):
     T, B, H3 = x_proj.shape
     H = H3 // 3
     const = lambda t: (0, 0)
     stream = lambda t: (t, 0, 0)
+    out_specs = [pl.BlockSpec((1, B, H), stream, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((T, B, H), jnp.float32)]
+    if with_residual:
+        out_specs.append(pl.BlockSpec((1, B, 3 * H), stream,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32))
     call = pl.pallas_call(
-        functools.partial(_fwd_kernel, mxu_dtype, H),
+        functools.partial(_fwd_kernel, mxu_dtype, H, with_residual),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, B, 3 * H), stream, memory_space=pltpu.VMEM),
@@ -120,19 +129,14 @@ def _fwd_impl(x_proj, w_hh_t, b_hh, h0, mxu_dtype, interpret):
             pl.BlockSpec((1, 3 * H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, B, H), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 3 * H), stream, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
-    return call(x_proj, w_hh_t.astype(mxu_dtype), b_hh[None, :], h0)
+    outs = call(x_proj, w_hh_t.astype(mxu_dtype), b_hh[None, :], h0)
+    return outs if with_residual else (outs[0], None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -150,7 +154,8 @@ def gru_layer(x_proj, w_hh_t, b_hh, h0, mxu_dtype=jnp.bfloat16,
 
     Returns (ys (T, B, H) f32, hT (B, H) f32).
     """
-    ys, _ = _fwd_impl(x_proj, w_hh_t, b_hh, h0, mxu_dtype, interpret)
+    ys, _ = _fwd_impl(x_proj, w_hh_t, b_hh, h0, mxu_dtype, interpret,
+                      with_residual=False)   # eval path: no hproj HBM write
     return ys, ys[-1]
 
 

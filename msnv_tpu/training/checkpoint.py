@@ -96,35 +96,78 @@ def load_checkpoint(path: str, template):
     return state, meta
 
 
+def _sync_processes(tag: str) -> None:
+    """Barrier across hosts (no-op single-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
 def save_checkpoint_orbax(path: str, state, meta: dict | None = None) -> None:
     """Save `state` as an orbax checkpoint directory at `path`.
 
     Multi-host: call from ALL processes (orbax saves collectively; each host
-    writes the shards it owns). `meta` lands in `<path>/msnv_meta.json`,
-    written by process 0 after the collective save finalizes.
+    writes the shards it owns). Filesystem mutations around the collective
+    save (clearing a stale dir, writing `<path>/msnv_meta.json`) happen on
+    process 0 only, fenced by barriers so no process races them.
     """
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
-    if os.path.exists(path):
+    if jax.process_index() == 0 and os.path.exists(path):
         shutil.rmtree(path)
+    _sync_processes("msnv-orbax-pre-save")
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, state)
     if jax.process_index() == 0:
         with open(os.path.join(path, "msnv_meta.json"), "w") as f:
             json.dump(meta or {}, f)
+    _sync_processes("msnv-orbax-post-save")
+
+
+def _subtree_like(template, full, where="state"):
+    """Extract `template`'s structure out of the restored `full` tree
+    (same partial-template contract as the npz loader: every template
+    path must exist; extra checkpoint entries are ignored)."""
+    if isinstance(template, dict):
+        if not isinstance(full, dict):
+            raise KeyError(f"checkpoint has no dict at {where}")
+        out = {}
+        for k, v in template.items():
+            if k not in full:
+                raise KeyError(f"checkpoint has no entry {where}[{k!r}]")
+            out[k] = _subtree_like(v, full[k], f"{where}[{k!r}]")
+        return out
+    if isinstance(template, (list, tuple)):
+        if len(full) != len(template):
+            raise KeyError(
+                f"checkpoint sequence at {where} has {len(full)} entries, "
+                f"template wants {len(template)}")
+        seq = [_subtree_like(t, f, f"{where}[{i}]")
+               for i, (t, f) in enumerate(zip(template, full))]
+        return type(template)(seq) if isinstance(template, tuple) else seq
+    return full  # leaf: take the restored value
 
 
 def load_checkpoint_orbax(path: str, template):
     """Restore an orbax checkpoint into `template`'s structure.
 
-    Template leaves that are sharded jax.Arrays (or ShapeDtypeStructs with
-    shardings) restore directly to those shardings — the multi-host resume
-    path never materializes the full state on one host.
+    Partial templates work like the npz loader's (e.g. {"params": ...} out
+    of a full training checkpoint — the generate/evaluate/warm-start path):
+    when the template's top-level structure is a strict subset of what was
+    saved, the full tree is restored and the requested subtree extracted.
+    Exact-structure templates restore directly, with template leaves that
+    are sharded jax.Arrays placing shards per their shardings (multi-host
+    resume never funnels state through one host).
     """
     import orbax.checkpoint as ocp
-    path = os.path.abspath(path)
+    path = _norm_ckpt_path(path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        state = ckptr.restore(path, item=template)
+        try:
+            state = ckptr.restore(path, item=template)
+        except ValueError:
+            # partial template: restore everything, extract the subtree
+            full = ckptr.restore(path)
+            state = _subtree_like(template, full)
     meta_path = os.path.join(path, "msnv_meta.json")
     meta = {}
     if os.path.isfile(meta_path):
@@ -133,8 +176,15 @@ def load_checkpoint_orbax(path: str, template):
     return state, meta
 
 
+def _norm_ckpt_path(path: str) -> str:
+    """Normalize (strip trailing slashes) so format dispatch on the
+    extension works for tab-completed directory paths."""
+    return os.path.abspath(os.path.normpath(path))
+
+
 def _load_meta(path: str) -> dict:
     """Read just the meta dict from either checkpoint format."""
+    path = _norm_ckpt_path(path)
     if path.endswith(".orbax"):
         meta_path = os.path.join(path, "msnv_meta.json")
         if os.path.isfile(meta_path):
@@ -147,6 +197,7 @@ def _load_meta(path: str) -> dict:
 
 def load_any(path: str, template):
     """Format-dispatching load: .orbax dir or .npz file."""
+    path = _norm_ckpt_path(path)
     if path.endswith(".orbax"):
         return load_checkpoint_orbax(path, template)
     return load_checkpoint(path, template)
@@ -198,7 +249,10 @@ class CheckpointManager:
     def save_epoch(self, state, epoch: int, iteration: int,
                    val_loss: float | None = None, meta: dict | None = None):
         meta = dict(meta or {}, epoch=epoch, iteration=iteration)
-        if not self.keep_old:
+        # retention deletes are process-0-only; the barrier inside the
+        # orbax save fences them from every process's collective write
+        proc0 = jax.process_index() == 0
+        if not self.keep_old and proc0:
             for p in glob.glob(os.path.join(self.dir, "ep*-it*.*")):
                 if _LAST_RE.match(os.path.basename(p)):
                     self._remove(p)
@@ -206,9 +260,10 @@ class CheckpointManager:
         self._save(path, state, meta)
         if val_loss is not None and val_loss < self._best_loss:
             self._best_loss = val_loss
-            for p in glob.glob(os.path.join(self.dir, "best-ep*-it*.*")):
-                if _BEST_RE.match(os.path.basename(p)):
-                    self._remove(p)
+            if proc0:
+                for p in glob.glob(os.path.join(self.dir, "best-ep*-it*.*")):
+                    if _BEST_RE.match(os.path.basename(p)):
+                        self._remove(p)
             best = self._fmt(BEST_PATTERN, epoch, iteration)
             self._save(best, state, dict(meta, val_loss=val_loss))
         return path

@@ -83,7 +83,7 @@ def main():
         audio.block_until_ready()
         ms = (time.perf_counter() - t0) / (args.frames - 1) * 1e3
         rtf = budget_ms / ms
-        streams = batch * min(rtf, 1.0) if rtf < 1 else batch * rtf
+        streams = batch * rtf
         ok = "realtime" if rtf >= 1.0 else "NOT realtime"
         print(f"  batch {batch:5d}: {ms:7.2f} ms/push  "
               f"rtf {rtf:6.2f}x  ~{streams:8.0f} concurrent streams  [{ok}]")

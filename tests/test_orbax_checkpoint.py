@@ -102,3 +102,33 @@ def test_orbax_sharded_round_trip(tmp_path):
     assert meta == {"sharded": True}
     np.testing.assert_array_equal(np.asarray(out["w"]), np.asarray(w))
     assert out["w"].sharding.is_equivalent_to(sh, 2)
+
+
+def test_orbax_partial_template_restore(tmp_path):
+    """The generate/evaluate/warm-start path: restore only {"params": ...}
+    out of a FULL training checkpoint (params + opt state + tier state)."""
+    full = {"params": _state(3)["params"],
+            "opt_state": {"m": jnp.zeros((4, 3)), "v": jnp.ones((4, 3))},
+            "tier_state": [jnp.zeros((2, 3)), jnp.ones((2, 3))]}
+    path = str(tmp_path / "full.orbax")
+    save_checkpoint_orbax(path, full, {"epoch": 7})
+    tpl = {"params": _zeros_like(full["params"])}
+    out, meta = load_checkpoint_orbax(path, tpl)
+    assert meta["epoch"] == 7
+    assert set(out) == {"params"}
+    np.testing.assert_array_equal(np.asarray(out["params"]["w"]),
+                                  np.asarray(full["params"]["w"]))
+    # missing template paths still fail loudly
+    import pytest
+    with pytest.raises(KeyError):
+        load_checkpoint_orbax(path, {"nope": jnp.zeros(())})
+
+
+def test_orbax_trailing_slash_dispatch(tmp_path):
+    """Tab-completed 'dir.orbax/' paths dispatch to the orbax loader."""
+    state = _state(4)
+    path = str(tmp_path / "ck.orbax")
+    save_checkpoint_orbax(path, state, {"k": 9})
+    out, meta = load_any(path + "/", _zeros_like(state))
+    assert meta["k"] == 9
+    np.testing.assert_array_equal(np.asarray(out["step"]), 4)

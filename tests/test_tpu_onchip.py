@@ -112,7 +112,8 @@ def test_pallas_v3_matches_v1_on_chip(tpu):
 
 
 def test_small_batch_generation_on_chip(tpu):
-    """v3 pallas generation at batch 1 and 3 (below the 8-sublane minimum):
+    """v3 pallas generation at batches 1, 3 (below the 8-sublane minimum)
+    and 12 (between multiples of 8):
     the wrapper pads lanes up to a legal tile instead of handing Mosaic
     1-2 lane blocks."""
     import jax
@@ -127,7 +128,7 @@ def test_small_batch_generation_on_chip(tpu):
     gen = generate_fn(params, cfg, compute_dtype=jnp.bfloat16,
                       use_pallas=True, pallas_opts={"v3": True})
     rng = np.random.RandomState(0)
-    for batch in (1, 3):
+    for batch in (1, 3, 12):
         cond = jnp.asarray(rng.rand(batch, 2, cfg.effective_cond_dim),
                            jnp.float32)
         spk = jnp.asarray(rng.randint(0, cfg.spk_dim, (batch,)), jnp.int32)
