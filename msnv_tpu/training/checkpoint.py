@@ -144,7 +144,12 @@ def _subtree_like(template, full, where="state"):
                 f"template wants {len(template)}")
         seq = [_subtree_like(t, f, f"{where}[{i}]")
                for i, (t, f) in enumerate(zip(template, full))]
-        return type(template)(seq) if isinstance(template, tuple) else seq
+        if isinstance(template, tuple):
+            # NamedTuples (e.g. optax states) construct from *args
+            if hasattr(template, "_fields"):
+                return type(template)(*seq)
+            return tuple(seq)
+        return seq
     return full  # leaf: take the restored value
 
 
