@@ -238,6 +238,16 @@ def build_corpus(cfg: CorpusConfig, partition: str,
             min_cond = np.empty((num_spk, dim_cond))
             for i in range(num_spk):
                 sel = cond[spk == i]
+                if sel.shape[0] == 0:
+                    # the packing truncation (reference formula) dropped
+                    # every frame of this speaker — the reference crashes
+                    # here with an opaque numpy reduction error
+                    raise ValueError(
+                        f"norm_ind: speaker {spk_ids[i]!r} has no frames "
+                        f"left after packing truncation (corpus "
+                        f"{total_samples} samples truncated to {total}). "
+                        f"Interleave speakers in the wav list, add data, "
+                        f"or use norm_ind=false.")
                 max_cond[i] = np.amax(sel, axis=0)
                 min_cond[i] = np.amin(sel, axis=0)
         else:

@@ -176,3 +176,32 @@ def test_static_spk_lists(tmp_path):
                                        "data_static.npy"))
     assert os.path.isfile(os.path.join(root, "npy",
                                        "min_max_joint_static.npy"))
+
+
+def test_norm_ind_truncated_speaker_raises_clear_error(tmp_path):
+    """Packing truncation can drop a whole speaker; norm_ind then fails
+    with an actionable message instead of the reference's opaque zero-size
+    numpy reduction (mel front-end corpus for file-layout brevity)."""
+    import pytest
+    from msnv_tpu.data.wavio import write_wav
+
+    root = str(tmp_path)
+    wav_dir = os.path.join(root, "wav")
+    os.makedirs(wav_dir)
+    rng = np.random.RandomState(0)
+    # speaker 71: exactly one packed window (batch*lon_seq*cond_len =
+    # 1*80*16 = 1280 samples); speaker 72: 400 samples, entirely inside
+    # the truncated tail
+    write_wav(os.path.join(wav_dir, "71a.wav"),
+              (0.3 * rng.randn(1280)).astype(np.float32), 16000)
+    write_wav(os.path.join(wav_dir, "72b.wav"),
+              (0.3 * rng.randn(400)).astype(np.float32), 16000)
+    with open(os.path.join(root, "wav_train.list"), "w") as f:
+        f.write("71a\n72b\n")
+    cfg = CorpusConfig(
+        datasets_path=root, wav_path=wav_dir,
+        cond_path=os.path.join(root, "nope"), cond_source="mel",
+        cond_dim=8, overlap_len=16, seq_len=64, batch_size=1, cond_len=16,
+        norm_ind=True, cache_dir=os.path.join(root, "npy"))
+    with pytest.raises(ValueError, match="no frames left after packing"):
+        build_corpus(cfg, "train")
