@@ -36,6 +36,11 @@ class ModelConfig:
     # or "pallas" (fused kernel, pallas/gru_kernel.py — w_hh VMEM-resident
     # across timesteps). Numerics-equivalent; not part of the experiment tag.
     gru_impl: str = "xla"
+    # gradient path for the sample-MLP's embed+conv input stage: "fused"
+    # (reassociated custom VJP through the composite table, ops/embed_conv.py
+    # — halves the backward FLOPs) or "direct" (plain autodiff baseline).
+    # Same forward either way; not part of the experiment tag.
+    mlp_grad_impl: str = "fused"
     qrnn: bool = False           # fo-pool QRNN tiers (ops/qrnn.py); the reference flag is dead — both its branches build a GRU (ref model.py:133-153)
 
     # Variant head on the conditioner stack (ref doc/Barbany_report.pdf sec 3.2):

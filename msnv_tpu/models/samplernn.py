@@ -41,6 +41,7 @@ from msnv_tpu.ops.linear import (
     dense_init, dense_apply, dense_weight, kaiming_uniform, lecun_uniform,
     normal,
 )
+from msnv_tpu.ops.embed_conv import embed_conv, embed_conv_direct
 from msnv_tpu.ops.quantize import udequantize, linear_dequantize
 from msnv_tpu.ops.upsample import upsample_init, upsample_apply
 
@@ -200,13 +201,12 @@ def sample_mlp_forward(mlp_params, cfg: ModelConfig, samples, upper_cond):
     upper_cond: (B, L, dim).
     Returns log-probs (B, L, q_levels).
     """
-    emb = mlp_params["embedding"][samples]          # (B, L+fs0-1, q)
     w = mlp_conv_weight(mlp_params)                 # (fs0, q, dim)
-    # Valid conv, window fs0, mapped onto the MXU by XLA.
-    x = jax.lax.conv_general_dilated(
-        emb, w, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=emb.dtype)
+    # Valid conv over embedded samples, window fs0, mapped onto the MXU by
+    # XLA. Identical forward either way; "fused" reassociates the backward
+    # through the composite table (ops/embed_conv.py — halves bwd FLOPs).
+    impl = embed_conv if cfg.mlp_grad_impl == "fused" else embed_conv_direct
+    x = impl(mlp_params["embedding"], w, samples)
     x = jax.nn.relu(x + upper_cond)
     x = jax.nn.relu(dense_apply(mlp_params["hidden"], x))
     x = dense_apply(mlp_params["out"], x)
