@@ -92,10 +92,15 @@ def main():
                                  m.effective_cond_dim), jnp.float32)
     tspk = jnp.asarray(rng.randint(0, m.spk_dim, (train_batch,)), jnp.int32)
     # train with the fused Pallas GRU layer (BENCH_GRU_IMPL=xla to compare)
+    # and bf16 mixed precision (f32 Adam masters, f32 log-softmax — the
+    # TPU-idiomatic default; BENCH_TRAIN_DTYPE=f32 for the full-f32 number)
     import dataclasses
     gru_impl = os.environ.get("BENCH_GRU_IMPL", "pallas")
+    train_dtype = os.environ.get("BENCH_TRAIN_DTYPE", "bf16")
     step = make_train_step(dataclasses.replace(m, gru_impl=gru_impl),
-                           optimizer, donate=False)
+                           optimizer, donate=False,
+                           compute_dtype=(jnp.bfloat16 if train_dtype ==
+                                          "bf16" else None))
     out = step(params, opt_state, state, data, jnp.asarray(True), target,
                tcond, tspk)
     out[3].block_until_ready()
@@ -132,6 +137,7 @@ def main():
             "gen_batch": gen_batch,
             "gen_wall_s": round(gen_dt, 3),
             "train_samples_per_s": round(train_tput),
+            "train_dtype": train_dtype,
             "train_step_wall_s": round(train_dt, 4),
             "train_vs_baseline": round(vs_train, 1) if vs_train else None,
             "baseline_hw": "reference torch-CPU (see reference_baseline.json)",

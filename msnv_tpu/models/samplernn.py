@@ -194,12 +194,12 @@ def mlp_conv_weight(mlp_params):
     return w
 
 
-def sample_mlp_forward(mlp_params, cfg: ModelConfig, samples, upper_cond):
-    """Sample-level MLP over a whole chunk (ref model.py:266-325).
+def sample_mlp_logits(mlp_params, cfg: ModelConfig, samples, upper_cond):
+    """Sample-level MLP over a whole chunk, pre-softmax (ref model.py:266-325).
 
     samples:    (B, L + fs0 - 1) int quantized samples.
     upper_cond: (B, L, dim).
-    Returns log-probs (B, L, q_levels).
+    Returns f32 logits (B, L, q_levels).
     """
     w = mlp_conv_weight(mlp_params)                 # (fs0, q, dim)
     # Valid conv over embedded samples, window fs0, mapped onto the MXU by
@@ -210,9 +210,15 @@ def sample_mlp_forward(mlp_params, cfg: ModelConfig, samples, upper_cond):
     x = jax.nn.relu(x + upper_cond)
     x = jax.nn.relu(dense_apply(mlp_params["hidden"], x))
     x = dense_apply(mlp_params["out"], x)
-    # log-softmax always in f32 (numerically load-bearing under the bf16
-    # mixed-precision training mode; no-op in the f32 default)
-    return jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
+    # logits always in f32 (the softmax/log-softmax is numerically
+    # load-bearing under the bf16 mixed-precision training mode)
+    return x.astype(jnp.float32)
+
+
+def sample_mlp_forward(mlp_params, cfg: ModelConfig, samples, upper_cond):
+    """Sample-level MLP log-probs (ref model.py:325 log_softmax output)."""
+    return jax.nn.log_softmax(
+        sample_mlp_logits(mlp_params, cfg, samples, upper_cond), axis=-1)
 
 
 # --------------------------------------------------------------------------
@@ -220,7 +226,7 @@ def sample_mlp_forward(mlp_params, cfg: ModelConfig, samples, upper_cond):
 # --------------------------------------------------------------------------
 
 def predictor_apply(params, cfg: ModelConfig, input_sequences, reset, cond,
-                    spk, state):
+                    spk, state, output="log_probs"):
     """Forward one TBPTT chunk (ref model.py:352-436 Predictor.forward).
 
     Args:
@@ -274,8 +280,12 @@ def predictor_apply(params, cfg: ModelConfig, input_sequences, reset, cond,
     fs0 = cfg.frame_sizes[0]
     mlp_samples = jax.lax.slice_in_dim(input_sequences, lookback - fs0,
                                        total, axis=1)
-    log_probs = sample_mlp_forward(params["mlp"], cfg, mlp_samples, upper_cond)
-    return log_probs, new_state, latent
+    # output="logits" skips the log_softmax so the loss can fuse it
+    # (ops/xent.nll_bits_from_logits) — the train/eval-step hot path.
+    mlp_fn = (sample_mlp_logits if output == "logits"
+              else sample_mlp_forward)
+    out = mlp_fn(params["mlp"], cfg, mlp_samples, upper_cond)
+    return out, new_state, latent
 
 
 def sequence_nll_loss_bits(log_probs, targets):

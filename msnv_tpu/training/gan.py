@@ -23,7 +23,8 @@ import optax
 
 from msnv_tpu.config import ModelConfig, TrainConfig
 from msnv_tpu.models.discriminator import discriminator_nll
-from msnv_tpu.models.samplernn import predictor_apply, sequence_nll_loss_bits
+from msnv_tpu.models.samplernn import predictor_apply
+from msnv_tpu.ops.xent import nll_bits_from_logits
 from msnv_tpu.training.step import state_stop_gradient
 
 
@@ -49,16 +50,17 @@ def make_gan_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
             from msnv_tpu.models.generate import cast_float_tree
             params = cast_float_tree(params, compute_dtype)
             state = [s.astype(compute_dtype) for s in state]
-        log_probs, new_state, latent = predictor_apply(
-            params, model_cfg, data, reset, cond, spk, state)
+        logits, new_state, latent = predictor_apply(
+            params, model_cfg, data, reset, cond, spk, state,
+            output="logits")
         new_state = [s.astype(jnp.float32) for s in new_state]
-        return log_probs, new_state, latent
+        return logits, new_state, latent
 
     def main_loss(params, disc_params, state, data, reset, cond, spk,
                   target, lam):
-        log_probs, new_state, latent = forward(params, state, data, reset,
-                                               cond, spk)
-        l1 = sequence_nll_loss_bits(log_probs, target)
+        logits, new_state, latent = forward(params, state, data, reset,
+                                             cond, spk)
+        l1 = nll_bits_from_logits(logits, target)
         # adversarial term: vocoder params get -lam * dL2/dparams via latent
         l2 = discriminator_nll(disc_params, latent, spk)
         return l1 - lam * l2, (new_state, l1, latent)

@@ -24,6 +24,7 @@ from msnv_tpu.config import ModelConfig
 from msnv_tpu.models.samplernn import (
     predictor_apply, sequence_nll_loss_bits,
 )
+from msnv_tpu.ops.xent import nll_bits_from_logits
 from msnv_tpu.parallel.mesh import (
     batch_sharding, param_sharding, replicated, state_sharding,
 )
@@ -48,9 +49,12 @@ def make_train_step(cfg: ModelConfig, optimizer, mesh=None, donate=True,
             state = [s.astype(compute_dtype) for s in state]
         else:
             p = params
-        log_probs, new_state, _latent = predictor_apply(
-            p, cfg, data, reset, cond, spk, state)
-        loss = sequence_nll_loss_bits(log_probs, target)
+        # logits + fused NLL (ops/xent.py): same value as log_softmax +
+        # gather (ref nn.py:66-70), without materializing the log-prob
+        # array or a scatter in the backward.
+        logits, new_state, _latent = predictor_apply(
+            p, cfg, data, reset, cond, spk, state, output="logits")
+        loss = nll_bits_from_logits(logits, target)
         return loss, [s.astype(jnp.float32) for s in new_state]
 
     def step(params, opt_state, state, data, reset, target, cond, spk):
@@ -111,9 +115,9 @@ def make_eval_step(cfg: ModelConfig, mesh=None):
     ValidationPlugin, ref trainer/plugins.py:51-92)."""
 
     def step(params, state, data, reset, target, cond, spk):
-        log_probs, new_state, _ = predictor_apply(
-            params, cfg, data, reset, cond, spk, state)
-        return sequence_nll_loss_bits(log_probs, target), new_state
+        logits, new_state, _ = predictor_apply(
+            params, cfg, data, reset, cond, spk, state, output="logits")
+        return nll_bits_from_logits(logits, target), new_state
 
     if mesh is None:
         return jax.jit(step)
