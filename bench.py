@@ -98,18 +98,22 @@ def main():
     gru_impl = os.environ.get("BENCH_GRU_IMPL", "pallas")
     train_dtype = os.environ.get("BENCH_TRAIN_DTYPE", "bf16")
     step = make_train_step(dataclasses.replace(m, gru_impl=gru_impl),
-                           optimizer, donate=False,
+                           optimizer, donate=True,
                            compute_dtype=(jnp.bfloat16 if train_dtype ==
                                           "bf16" else None))
-    out = step(params, opt_state, state, data, jnp.asarray(True), target,
-               tcond, tspk)
-    out[3].block_until_ready()
+    # chained + donated: the realistic training loop (in-place Adam state).
+    # Sync via float() of the scalar loss — block_until_ready on pytrees
+    # does not fence on the remote axon platform.
+    p, o, s = params, opt_state, state
+    p, o, s, loss = step(p, o, s, data, jnp.asarray(True), target,
+                         tcond, tspk)
+    float(loss)
     t0 = time.perf_counter()
-    truns = 5
+    truns = 10
     for i in range(truns):
-        out = step(params, opt_state, state, data, jnp.asarray(False),
-                   target, tcond, tspk)
-    out[3].block_until_ready()
+        p, o, s, loss = step(p, o, s, data, jnp.asarray(False),
+                             target, tcond, tspk)
+    float(loss)
     train_dt = (time.perf_counter() - t0) / truns
     train_tput = train_batch * seq_len / train_dt
 
