@@ -32,9 +32,13 @@ class ModelConfig:
     cond_len: int = 80           # audio samples per conditioner frame (5 ms @ 16 kHz)
     spk_dim: int = 6             # number of speakers == speaker-embedding size
     look_ahead: bool = False     # feed next frame's conditioners too (43 -> 86)
-    # recurrent-sweep engine for training/eval tier GRUs: "xla" (lax.scan)
-    # or "pallas" (fused kernel, pallas/gru_kernel.py — w_hh VMEM-resident
-    # across timesteps). Numerics-equivalent; not part of the experiment tag.
+    # recurrent-sweep engine for training/eval tier GRUs: "xla" (lax.scan),
+    # "pallas" (fused kernel, pallas/gru_kernel.py — w_hh VMEM-resident
+    # across timesteps), or "wavefront" (all layers in one diagonal scan,
+    # sequential depth T+n_rnn-1 instead of n_rnn*T). Numerics-equivalent;
+    # not part of the experiment tag. At the canonical config the choice is
+    # ~noise (<1 ms of a 38 ms step): a full-GRU ablation measures the
+    # recurrent sweeps at <0.5 ms — the step is sample-MLP matmul-bound.
     gru_impl: str = "xla"
     # gradient path for the sample-MLP's embed+conv input stage: "fused"
     # (reassociated custom VJP through the composite table, ops/embed_conv.py

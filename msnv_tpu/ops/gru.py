@@ -103,6 +103,68 @@ def _layer_apply(p, x, h0, impl: str = "xla"):
     return jnp.swapaxes(ys, 0, 1), hT
 
 
+def _wavefront_apply(params, x, h0):
+    """All layers advance along the (time, layer) anti-diagonal in ONE scan:
+    wavefront step s computes layer l's timestep t = s - l for every layer at
+    once. Sequential depth drops from n_layers*T (layer-by-layer sweeps) to
+    T + n_layers - 1, and the per-step recurrent matmuls of all layers fuse
+    into a single batched (L, B, H) x (L, H, 3H) MXU call — the standard
+    multi-layer-RNN wavefront schedule (what cuDNN does internally for the
+    reference's torch.nn.GRU, ref model.py:133-153), expressed as lax.scan.
+
+    Numerics are identical to the layer-by-layer path: same matmuls, same
+    order within each (layer, timestep) cell, only the cross-layer schedule
+    changes. Inactive cells (s-l outside [0, T)) compute on stale carries and
+    are masked out with jnp.where, which also latches each layer's final
+    hidden in place.
+    """
+    L = len(params)
+    B, T, _ = x.shape
+    H = h0.shape[-1]
+    # Layer-0 input projection for ALL timesteps: one large MXU matmul.
+    p0 = params[0]
+    x0 = jnp.einsum("bti,gi->btg", x, p0["w_ih"],
+                    preferred_element_type=x.dtype) + p0["b_ih"]
+    # Stacked recurrent weights (L, H, 3H) / biases (L, 1, 3H); upper layers'
+    # input weights (L-1, H, 3H) move inside the scan (their inputs are the
+    # previous wavefront step's lower-layer outputs).
+    w_hh = jnp.stack([p["w_hh"].T for p in params])
+    b_hh = jnp.stack([p["b_hh"] for p in params])[:, None, :]
+    w_ih_up = jnp.stack([p["w_ih"].T for p in params[1:]])
+    b_ih_up = jnp.stack([p["b_ih"] for p in params[1:]])[:, None, :]
+
+    S = T + L - 1
+    x0_t = jnp.swapaxes(x0, 0, 1)                         # (T, B, 3H)
+    x0_pad = jnp.concatenate(
+        [x0_t, jnp.zeros((L - 1, B, 3 * H), x0.dtype)], axis=0)
+    lidx = jnp.arange(L)
+
+    def step(carry, xs):
+        h, y = carry                                      # (L, B, H) each
+        xp0, s = xs                                       # (B, 3H), scalar
+        hp = jnp.einsum("lbh,lhg->lbg", h, w_hh,
+                        preferred_element_type=h.dtype) + b_hh
+        xp_up = jnp.einsum("lbh,lhg->lbg", y[:-1], w_ih_up,
+                           preferred_element_type=h.dtype) + b_ih_up
+        xp = jnp.concatenate([xp0[None], xp_up], axis=0)  # (L, B, 3H)
+        xr, xz, xn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        t = s - lidx
+        active = ((t >= 0) & (t < T))[:, None, None]
+        h = jnp.where(active, h_new, h)   # latches layer l's hT at t == T-1
+        y = jnp.where(active, h_new, y)   # layer l+1 reads y[l] next step
+        return (h, y), y[-1]
+
+    y0 = jnp.zeros((L, B, H), x0.dtype)
+    (hT, _), ys = jax.lax.scan(step, (h0.astype(x0.dtype), y0),
+                               (x0_pad, jnp.arange(S)))
+    return jnp.swapaxes(ys[L - 1:], 0, 1), hT
+
+
 def gru_apply(params, x, h0, impl: str = "xla"):
     """Multi-layer GRU.
 
@@ -110,11 +172,15 @@ def gru_apply(params, x, h0, impl: str = "xla"):
       params: list of per-layer dicts from `gru_init`.
       x: (B, T, d_in).
       h0: (n_layers, B, H) initial hidden.
-      impl: "xla" (lax.scan) or "pallas" (fused kernel, see _layer_apply).
+      impl: "xla" (layer-by-layer lax.scan), "pallas" (fused kernel, see
+        _layer_apply), or "wavefront" (all layers in one diagonal scan —
+        sequential depth T + n_layers - 1 instead of n_layers * T).
 
     Returns:
       (y (B, T, H) — last layer outputs, h (n_layers, B, H)).
     """
+    if impl == "wavefront" and len(params) > 1:
+        return _wavefront_apply(params, x, h0)
     h_out = []
     y = x
     for layer, p in enumerate(params):

@@ -76,3 +76,31 @@ def test_gru_init_stats():
     assert np.abs(w_hh[:128]).max() <= bound + 1e-6
     assert np.abs(np.asarray(params[0]["w_ih"])).max() <= bound + 1e-6
     assert np.asarray(params[0]["b_ih"]).sum() == 0
+
+
+@pytest.mark.parametrize("n_layers,T,B,H,din",
+                         [(1, 7, 3, 16, 16), (2, 13, 4, 32, 24),
+                          (3, 9, 2, 16, 16)])
+def test_wavefront_matches_xla(n_layers, T, B, H, din):
+    """gru_impl='wavefront' (diagonal all-layer scan) is numerics-identical
+    to the layer-by-layer sweep, forward and backward."""
+    key = jax.random.PRNGKey(n_layers * 100 + T)
+    params = gru_init(key, n_layers, din, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, din))
+    h0 = jax.random.normal(jax.random.PRNGKey(2), (n_layers, B, H))
+
+    y1, h1 = gru_apply(params, x, h0, impl="xla")
+    y2, h2 = gru_apply(params, x, h0, impl="wavefront")
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=1e-6)
+
+    def loss(p, impl):
+        y, h = gru_apply(p, x, h0, impl=impl)
+        return jnp.sum(y ** 2) + jnp.sum(h ** 2)
+
+    g1 = jax.grad(lambda p: loss(p, "xla"))(params)
+    g2 = jax.grad(lambda p: loss(p, "wavefront"))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-4)
