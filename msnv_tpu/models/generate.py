@@ -292,19 +292,23 @@ def _make_level_forced(params, cfg: ModelConfig, t: int, fused_table):
 
 
 def streaming_fn(params, cfg: ModelConfig, compute_dtype=None,
-                 use_pallas=False, pallas_opts=None):
-    """Streaming generation: push one conditioner frame, pull lookback
-    samples, O(1) carried state — unbounded audio with constant memory.
+                 use_pallas=False, pallas_opts=None, frames_per_push=1):
+    """Streaming generation: push conditioner frames, pull samples, O(1)
+    carried state — unbounded audio with constant memory.
 
     Returns (init_state, push) where:
       init_state(batch, spk, [key]) -> carry
-      push(carry, cond_frame (B, effective_cond_dim)) -> (carry, audio
-        (B, lookback) float32, samples (B, lookback) int32)
+      push(carry, cond (B, effective_cond_dim) when frames_per_push == 1,
+        else (B, frames_per_push, effective_cond_dim)) -> (carry, audio
+        (B, frames_per_push*lookback) float32, samples (same) int32)
 
     The per-frame math is identical to generate_fn (same scans below the
     frame level), so a sequence of push() calls reproduces a batch
-    generate() with the same key exactly. Serving usage: keep `carry` on
-    device between requests; each push is one jitted call.
+    generate() with the same key exactly — and a K-frame push equals K
+    1-frame pushes exactly (the PRNG key threads through the same splits).
+    Serving usage: keep `carry` on device between requests; each push is
+    one jitted call. frames_per_push > 1 amortizes per-dispatch overhead
+    when the latency SLO allows K*5 ms chunks.
     """
     if compute_dtype is not None:
         params = cast_float_tree(params, compute_dtype)
@@ -366,10 +370,17 @@ def streaming_fn(params, cfg: ModelConfig, compute_dtype=None,
         return (spk_vec, buf, hs, key)
 
     @jax.jit
-    def push(carry, cond_frame):
+    def push(carry, cond):
         spk_vec, buf, hs, key = carry
-        (buf, hs, key), samples = frame_step(spk_vec, (buf, hs, key),
-                                             cond_frame)
+        if frames_per_push == 1:
+            (buf, hs, key), samples = frame_step(spk_vec, (buf, hs, key),
+                                                 cond)
+        else:
+            (buf, hs, key), frames = jax.lax.scan(
+                partial(frame_step, spk_vec), (buf, hs, key),
+                jnp.swapaxes(cond, 0, 1))          # (K, B, nfs_top)
+            samples = jnp.moveaxis(frames, 0, 1).reshape(
+                frames.shape[1], -1)
         return (spk_vec, buf, hs, key), dequantize(cfg, samples), samples
 
     return init_state, push

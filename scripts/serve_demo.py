@@ -17,6 +17,8 @@ all lanes advance in one batched push, the sustainable stream count is
 Usage:
   python scripts/serve_demo.py [--batches 1,8,64,256] [--frames 64]
           [--engine auto|xla|pallas] [--preset samplernn]
+          [--frames_per_push K]   # K-frame chunked pushes: amortizes
+                                  # dispatch, budget scales to K*5 ms
 """
 
 import argparse
@@ -36,6 +38,7 @@ def main():
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "xla", "pallas"])
     ap.add_argument("--preset", default="samplernn")
+    ap.add_argument("--frames_per_push", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -57,9 +60,10 @@ def main():
         engine = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     params = init_params(jax.random.PRNGKey(0), m)
 
-    budget_ms = m.cond_len / 16000.0 * 1e3
-    print(f"preset={args.preset} engine={engine} "
-          f"budget={budget_ms:.2f} ms per {m.cond_len}-sample push")
+    K = args.frames_per_push
+    budget_ms = K * m.cond_len / 16000.0 * 1e3
+    print(f"preset={args.preset} engine={engine} frames_per_push={K} "
+          f"budget={budget_ms:.2f} ms per {K * m.cond_len}-sample push")
 
     rng = np.random.RandomState(0)
     best = 0.0
@@ -67,13 +71,14 @@ def main():
         if engine == "pallas":
             init_state, push = streaming_fn(
                 params, m, compute_dtype=jnp.bfloat16, use_pallas=True,
-                pallas_opts={"v3": True, "tile_b": 128})
+                pallas_opts={"v3": True, "tile_b": 128}, frames_per_push=K)
         else:
-            init_state, push = streaming_fn(params, m)
+            init_state, push = streaming_fn(params, m, frames_per_push=K)
         spk = jnp.asarray(rng.randint(0, m.spk_dim, (batch,)), jnp.int32)
         carry = init_state(batch, spk, jax.random.PRNGKey(1))
-        frames = jnp.asarray(
-            rng.rand(args.frames, batch, m.effective_cond_dim), jnp.float32)
+        shape = ((args.frames, batch, m.effective_cond_dim) if K == 1
+                 else (args.frames, batch, K, m.effective_cond_dim))
+        frames = jnp.asarray(rng.rand(*shape), jnp.float32)
         # warmup / compile
         carry, audio, _ = push(carry, frames[0])
         audio.block_until_ready()

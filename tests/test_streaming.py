@@ -46,3 +46,33 @@ def test_streaming_unbounded_state_constant():
         carry, _, _ = push(carry, jnp.asarray(rng.rand(1, 5), jnp.float32))
     shapes1 = [x.shape for x in jax.tree_util.tree_leaves(carry)]
     assert shapes0 == shapes1
+
+
+def test_multi_frame_push_matches_single():
+    """frames_per_push=K equals K sequential 1-frame pushes exactly (the
+    PRNG key threads through identical splits)."""
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=5,
+                      spk_dim=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(3)
+    B, K, total = 2, 3, 6
+    cond = jnp.asarray(rng.rand(B, total, 5), jnp.float32)
+    spk = jnp.asarray([1, 0], jnp.int32)
+    key = jax.random.PRNGKey(5)
+
+    init1, push1 = streaming_fn(params, cfg)
+    carry = init1(B, spk, key)
+    singles = []
+    for f in range(total):
+        carry, _, s = push1(carry, cond[:, f])
+        singles.append(np.asarray(s))
+    ref = np.concatenate(singles, axis=1)
+
+    initk, pushk = streaming_fn(params, cfg, frames_per_push=K)
+    carry = initk(B, spk, key)
+    chunks = []
+    for c in range(total // K):
+        carry, audio, s = pushk(carry, cond[:, c * K:(c + 1) * K])
+        assert audio.shape == (B, K * cfg.lookback)
+        chunks.append(np.asarray(s))
+    np.testing.assert_array_equal(np.concatenate(chunks, axis=1), ref)
