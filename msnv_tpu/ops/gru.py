@@ -53,6 +53,17 @@ def gru_init(key, n_layers: int, in_dim: int, hidden: int, dtype=jnp.float32):
     return layers
 
 
+def _gru_gates(xp, hp, h):
+    """Torch-order gate math shared by every impl: xp/hp are the input/
+    hidden projections (..., 3H) split [r, z, n]; h is (..., H)."""
+    xr, xz, xn = jnp.split(xp, 3, axis=-1)
+    hr, hz, hn = jnp.split(hp, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
 def _layer_apply(p, x, h0, impl: str = "xla"):
     """One GRU layer. x: (B, T, d_in), h0: (B, H) -> (y (B, T, H), hT).
 
@@ -90,12 +101,7 @@ def _layer_apply(p, x, h0, impl: str = "xla"):
     def step(h, xp):
         # xp: (B, 3H) for this timestep.
         h_proj = jnp.dot(h, w_hh_t, preferred_element_type=h.dtype) + b_hh
-        xr, xz, xn = jnp.split(xp, 3, axis=-1)
-        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
+        h_new = _gru_gates(xp, h_proj, h)
         return h_new, h_new
 
     x_proj_t = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 3H) scan-major
@@ -147,12 +153,7 @@ def _wavefront_apply(params, x, h0):
         xp_up = jnp.einsum("lbh,lhg->lbg", y[:-1], w_ih_up,
                            preferred_element_type=h.dtype) + b_ih_up
         xp = jnp.concatenate([xp0[None], xp_up], axis=0)  # (L, B, 3H)
-        xr, xz, xn = jnp.split(xp, 3, axis=-1)
-        hr, hz, hn = jnp.split(hp, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
+        h_new = _gru_gates(xp, hp, h)
         t = s - lidx
         active = ((t >= 0) & (t < T))[:, None, None]
         h = jnp.where(active, h_new, h)   # latches layer l's hT at t == T-1
@@ -206,11 +207,6 @@ def gru_cell(params, x, h):
         xp = jnp.dot(y, p["w_ih"].T, preferred_element_type=y.dtype) + p["b_ih"]
         hp = jnp.dot(h[layer], p["w_hh"].T,
                      preferred_element_type=y.dtype) + p["b_hh"]
-        xr, xz, xn = jnp.split(xp, 3, axis=-1)
-        hr, hz, hn = jnp.split(hp, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        y = (1.0 - z) * n + z * h[layer]
+        y = _gru_gates(xp, hp, h[layer])
         h_out.append(y)
     return y, jnp.stack(h_out)

@@ -37,11 +37,9 @@ def main():
     args = ap.parse_args()
 
     import jax
-    if jax.default_backend() != "cpu":
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+    # must run BEFORE anything initializes the backend (calling
+    # jax.default_backend() first would make this a silent no-op)
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from msnv_tpu.config import ModelConfig, TrainConfig
     from msnv_tpu.data.corpus import CorpusConfig, build_corpus
