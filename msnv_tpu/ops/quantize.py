@@ -3,6 +3,15 @@
 Numeric parity targets (constants and formulas): ref utils.py:9-63.
 All functions operate on jnp arrays and are jit/vmap-safe; they are also
 happy with plain numpy inputs (returning jnp arrays).
+
+Reference-parity quirks, deliberately preserved (tests/test_properties.py):
+- input exactly +1.0 (and f32 values within ~1 ulp of it) overflows
+  uquantize to level q (ref utils.py:48-51); the corpus packer clamps
+  upstream and generation never emits it.
+- quantize(dequantize(level)) is NOT idempotent: the midrise `q - 1e-6`
+  epsilon drops exact bin-edge values one level, so repeated
+  decode/re-encode cycles can walk low levels downward one per pass.
+  Encode from source audio once; never re-encode decoded output.
 """
 
 from __future__ import annotations
