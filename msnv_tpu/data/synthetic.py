@@ -19,7 +19,7 @@ from msnv_tpu.data.corpus import F0_UNVOICED, GV_UNVOICED
 def make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=3,
                           frames_per_utt=64, cond_len=80, n_cc=40,
                           sample_rate=16000, seed=0, partitions=("train",),
-                          uneven_lengths=True):
+                          uneven_lengths=True, interleave=False):
     """Create a fixture corpus under `root`.
 
     Layout:
@@ -77,6 +77,13 @@ def make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=3,
                           GV_UNVOICED / 2)
             np.savetxt(os.path.join(cond_dir, name + ".gv"), gv)
 
+    if interleave:
+        # round-robin the speakers so batch-major lane packing (which
+        # truncates the corpus tail) never drops a whole speaker — the
+        # layout per-speaker (norm_ind) normalization needs
+        chunks = [names[s * utts_per_speaker:(s + 1) * utts_per_speaker]
+                  for s in range(n_speakers)]
+        names = [n for group in zip(*chunks) for n in group]
     for part in partitions:
         with open(os.path.join(root, f"wav_{part}.list"), "w") as fh:
             fh.write("\n".join(names) + "\n")

@@ -90,7 +90,7 @@ def main():
         make_synthetic_corpus(
             data_dir, n_speakers=n_spk, utts_per_speaker=utts,
             frames_per_utt=frames_per_utt, cond_len=cond_len,
-            partitions=("train", "validation", "test"))
+            partitions=("train", "validation", "test"), interleave=True)
 
     t0 = time.time()
     cwd = os.getcwd()

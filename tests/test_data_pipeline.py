@@ -205,3 +205,15 @@ def test_norm_ind_truncated_speaker_raises_clear_error(tmp_path):
         norm_ind=True, cache_dir=os.path.join(root, "npy"))
     with pytest.raises(ValueError, match="no frames left after packing"):
         build_corpus(cfg, "train")
+
+
+def test_synthetic_corpus_interleave():
+    """interleave=True round-robins speakers in the partition lists so lane
+    packing's tail truncation cannot drop a whole speaker (norm_ind)."""
+    import tempfile
+    from msnv_tpu.data.synthetic import make_synthetic_corpus
+    root = tempfile.mkdtemp()
+    make_synthetic_corpus(root, n_speakers=3, utts_per_speaker=2,
+                          frames_per_utt=8, cond_len=16, interleave=True)
+    names = open(os.path.join(root, "wav_train.list")).read().split()
+    assert [n[:2] for n in names] == ["71", "72", "73", "71", "72", "73"]
