@@ -136,6 +136,12 @@ def load_utterance(cfg: CorpusConfig, name: str):
     """
     from msnv_tpu.data import native
     d, _sr = native.read_wav(os.path.join(cfg.wav_path, name + ".wav"))
+    # clamp strictly below +1.0: float-format WAVs can carry samples at or
+    # above full scale, and uquantize maps f32 values within ~1 ulp of 1.0
+    # to the out-of-range level q (the reference's utils.py:48-51 overflow
+    # quirk) — which would silently train on clamped-wrong targets. This is
+    # the "packer clamps upstream" contract in ops/quantize.py.
+    d = np.minimum(np.maximum(d, -1.0), 1.0 - 1e-5)
 
     if cfg.cond_source == "mel":
         # Ahocoder-free path: sync the audio first (same pad/truncate rule),
@@ -172,12 +178,37 @@ def load_utterance(cfg: CorpusConfig, name: str):
 
 def build_corpus(cfg: CorpusConfig, partition: str,
                  use_cache: bool = True) -> Corpus:
-    """Build (or load from cache) the packed corpus for a partition."""
+    """Build (or load from cache) the packed corpus for a partition.
+
+    Multi-host safe: the npy caches live on a shared filesystem, so when
+    several jax processes enter with a cold cache, process 0 builds
+    (writes) alone and a barrier fences the rest, which then load the
+    finished caches — never torn concurrent np.save's of the same files.
+    """
     names = _names(cfg, partition)
-    cached = all(os.path.isfile(names[k])
-                 for k in ("data", "cond", "spk", "min_max"))
-    if cached and use_cache:
+
+    def _cached():
+        return all(os.path.isfile(names[k])
+                   for k in ("data", "cond", "spk", "min_max"))
+
+    if _cached() and use_cache:
         return load_corpus(cfg, partition)
+
+    import jax
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        if jax.process_index() != 0:
+            multihost_utils.sync_global_devices(
+                f"msnv-corpus-{partition}")
+            return load_corpus(cfg, partition)
+        corpus = _build_corpus_local(cfg, partition, names)
+        multihost_utils.sync_global_devices(f"msnv-corpus-{partition}")
+        return corpus
+    return _build_corpus_local(cfg, partition, names)
+
+
+def _build_corpus_local(cfg: CorpusConfig, partition: str, names) -> Corpus:
+    """The single-process corpus build (cache writer)."""
 
     os.makedirs(os.path.dirname(names["data"]), exist_ok=True)
 
@@ -282,7 +313,13 @@ def _look_ahead(cond: np.ndarray, cond_cache_path: str) -> np.ndarray:
     """Materialize look-ahead conditioners: cond ‖ cond shifted left one
     frame (the last frame duplicates) — ref dataset.py:213-221."""
     ahead_path = cond_cache_path.replace(".npy", "_ahead.npy")
-    if os.path.isfile(ahead_path):
+    # trust the cache only if it is newer than the base cond cache — a
+    # rebuilt corpus (deleted/changed inputs) must not silently pair fresh
+    # conditioners with a stale look-ahead materialization
+    if os.path.isfile(ahead_path) and (
+            not os.path.isfile(cond_cache_path)
+            or os.path.getmtime(ahead_path)
+            >= os.path.getmtime(cond_cache_path)):
         return np.load(ahead_path)
     delayed = np.copy(cond)
     delayed[:, :-1, :] = delayed[:, 1:, :]

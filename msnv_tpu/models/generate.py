@@ -172,9 +172,11 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
         wh_c = wh.astype(table.dtype)
 
         # pad to a slice multiple so every lane is covered (padded lanes are
-        # computed on zeros and sliced away)
+        # computed on zeros and sliced away); slices are rounded up to the
+        # 8-lane sublane minimum — Mosaic cannot lower smaller lane blocks
+        # (same constraint as the v2/v3 path above)
         n_slices = -(-batch // tile_b)
-        size = -(-batch // n_slices)
+        size = -(-max(-(-batch // n_slices), 8) // 8) * 8
         padded = n_slices * size
         slots_t = _pad_batch(jnp.swapaxes(slots_t, 0, 1), batch, padded)
         slots_t = jnp.swapaxes(slots_t, 0, 1)
@@ -384,6 +386,22 @@ def streaming_fn(params, cfg: ModelConfig, compute_dtype=None,
         return (spk_vec, buf, hs, key), dequantize(cfg, samples), samples
 
     return init_state, push
+
+
+def generate_fn_dynamic(cfg: ModelConfig, compute_dtype=None,
+                        use_pallas=False, pallas_opts=None, unroll=1):
+    """generate_fn with params as a CALL argument: one XLA compile serves
+    changing weights. generate_fn bakes params into the jitted closure as
+    constants — fine for fixed weights, but a per-epoch sampling plugin
+    rebuilding it would pay the full nested-scan compile every epoch."""
+    @jax.jit
+    def generate(params, cond, spk, key):
+        # the inner jitted fn inlines into this trace; params are tracers,
+        # so nothing is constant-folded and the compile is reused across
+        # param values (cache keys on shapes/dtypes only)
+        return generate_fn(params, cfg, compute_dtype, use_pallas,
+                           pallas_opts, unroll)(cond, spk, key)
+    return generate
 
 
 def teacher_forced_log_probs(params, cfg: ModelConfig):

@@ -55,7 +55,16 @@ def save_checkpoint(path: str, state, meta: dict | None = None) -> None:
     flat, _ = jax.tree_util.tree_flatten_with_path(state)
     arrays = {}
     for p, x in flat:
-        arrays["leaf:" + _path_key(p)] = np.asarray(x)
+        try:
+            arrays["leaf:" + _path_key(p)] = np.asarray(x)
+        except RuntimeError as e:
+            # jax.Array spanning non-addressable devices (multi-host
+            # model-sharded state) cannot funnel through one npz
+            raise RuntimeError(
+                f"npz checkpointing requires fully-addressable arrays "
+                f"(leaf {_path_key(p)} spans other hosts); use the orbax "
+                f"backend (--ckpt_backend orbax) for multi-host sharded "
+                f"state") from e
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta or {}).encode(), dtype=np.uint8)
     buf = io.BytesIO()
@@ -238,8 +247,14 @@ class CheckpointManager:
     def _save(self, path, state, meta):
         if self.backend == "orbax":
             save_checkpoint_orbax(path, state, meta)
-        else:
+            return
+        # npz is a host-0 single-file format: only process 0 writes (all
+        # hosts hold replicas under pure DP; sharded state needs orbax —
+        # save_checkpoint raises a pointed error), and the barrier keeps
+        # other hosts from resuming/deleting around a mid-flight write
+        if jax.process_index() == 0:
             save_checkpoint(path, state, meta)
+        _sync_processes("msnv-npz-save")
 
     @staticmethod
     def _remove(path):
@@ -251,26 +266,31 @@ class CheckpointManager:
             name = name[:-len(".npz")] + ".orbax"
         return os.path.join(self.dir, name)
 
+    def _retain_only(self, keep_path, regex):
+        """Delete checkpoints matching `regex` except `keep_path`."""
+        for p in glob.glob(os.path.join(self.dir, "*ep*-it*.*")):
+            if regex.match(os.path.basename(p)) and \
+                    os.path.abspath(p) != os.path.abspath(keep_path):
+                self._remove(p)
+
     def save_epoch(self, state, epoch: int, iteration: int,
                    val_loss: float | None = None, meta: dict | None = None):
         meta = dict(meta or {}, epoch=epoch, iteration=iteration)
-        # retention deletes are process-0-only; the barrier inside the
-        # orbax save fences them from every process's collective write
+        # WRITE-then-delete: the new checkpoint lands before old ones are
+        # removed, so a crash/preemption mid-save never leaves the run with
+        # zero resumable checkpoints. Retention deletes are process-0-only;
+        # the barrier inside _save fences them from other hosts' reads.
         proc0 = jax.process_index() == 0
-        if not self.keep_old and proc0:
-            for p in glob.glob(os.path.join(self.dir, "ep*-it*.*")):
-                if _LAST_RE.match(os.path.basename(p)):
-                    self._remove(p)
         path = self._fmt(LAST_PATTERN, epoch, iteration)
         self._save(path, state, meta)
+        if not self.keep_old and proc0:
+            self._retain_only(path, _LAST_RE)
         if val_loss is not None and val_loss < self._best_loss:
             self._best_loss = val_loss
-            if proc0:
-                for p in glob.glob(os.path.join(self.dir, "best-ep*-it*.*")):
-                    if _BEST_RE.match(os.path.basename(p)):
-                        self._remove(p)
             best = self._fmt(BEST_PATTERN, epoch, iteration)
             self._save(best, state, dict(meta, val_loss=val_loss))
+            if proc0:
+                self._retain_only(best, _BEST_RE)
         return path
 
     def latest(self):

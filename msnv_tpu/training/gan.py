@@ -54,7 +54,10 @@ def make_gan_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
             params, model_cfg, data, reset, cond, spk, state,
             output="logits")
         new_state = [s.astype(jnp.float32) for s in new_state]
-        return logits, new_state, latent
+        # the discriminator stays f32 (InstanceNorm statistics); under bf16
+        # mixed precision the latent must be upcast before its convs —
+        # lax.conv rejects mixed bf16/f32 operands
+        return logits, new_state, latent.astype(jnp.float32)
 
     def main_loss(params, disc_params, state, data, reset, cond, spk,
                   target, lam):

@@ -189,15 +189,17 @@ class GeneratorPlugin(Plugin):
         import jax
         import jax.numpy as jnp
         from msnv_tpu.data.wavio import write_wav
-        from msnv_tpu.models.generate import generate_fn
+        from msnv_tpu.models.generate import generate_fn_dynamic
         t = self.trainer
-        # params change every epoch: rebuild the closure (weights are baked
-        # into the jitted fn); compile cache keys on shapes so this is a
-        # retrace, not a recompile of XLA-level programs from scratch
-        gen = generate_fn(t.params, t.cfg.model,
-                          compute_dtype=self.compute_dtype)
-        audio, _ = gen(jnp.asarray(self.cond), jnp.asarray(self.spk),
-                       jax.random.PRNGKey(epoch_index))
+        # params change every epoch, so the jitted generator takes them as
+        # an argument — ONE compile for the whole run (generate_fn would
+        # bake each epoch's weights in as constants and recompile)
+        if self._gen is None:
+            self._gen = generate_fn_dynamic(
+                t.cfg.model, compute_dtype=self.compute_dtype)
+        audio, _ = self._gen(t.params, jnp.asarray(self.cond),
+                             jnp.asarray(self.spk),
+                             jax.random.PRNGKey(epoch_index))
         audio = np.asarray(audio)
         os.makedirs(self.samples_path, exist_ok=True)
         for i in range(audio.shape[0]):

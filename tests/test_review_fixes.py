@@ -125,3 +125,122 @@ def test_warm_start_params_only(tmp_path):
         assert os.path.isdir(os.path.join(results, exp_b, "checkpoints"))
     finally:
         os.chdir(cwd)
+
+
+def test_gan_bf16_step_runs():
+    """GAN training under bf16 mixed precision: the bf16 latent is upcast
+    before the f32 discriminator (lax.conv rejects mixed dtypes)."""
+    from msnv_tpu.models.discriminator import discriminator_init
+    from msnv_tpu.training.gan import make_gan_train_step
+    m = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=32, cond_dim=43,
+                    cond_len=16, spk_dim=3, variant="gan", ind_cond_dim=8)
+    tc = TrainConfig(seq_len=64, batch_size=4, learning_rate=1e-3,
+                     lambda_weight=(0.0, 0.01, 10.0))
+    params = init_params(jax.random.PRNGKey(0), m)
+    disc = discriminator_init(jax.random.PRNGKey(1), 3, channels=8)
+    mo_, do_ = make_optimizer(tc), make_optimizer(tc)
+    step = make_gan_train_step(m, tc, mo_, do_, compute_dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    out = step(params, disc, mo_.init(params), do_.init(disc),
+               init_tier_state(m, 4), jnp.asarray(0.0),
+               jnp.asarray(rng.randint(0, 256, (4, 64 + m.lookback - 1)),
+                           jnp.int32),
+               jnp.asarray(True),
+               jnp.asarray(rng.randint(0, 256, (4, 64)), jnp.int32),
+               jnp.asarray(rng.rand(4, 64 // m.lookback, 43), jnp.float32),
+               jnp.asarray(rng.randint(0, 3, (4,)), jnp.int32))
+    assert np.isfinite(float(out[-1]["loss"]))
+
+
+def test_save_epoch_writes_before_deleting(tmp_path, monkeypatch):
+    """Retention never deletes the old 'last' checkpoint before the new one
+    is on disk (a crash mid-save must leave a resumable checkpoint)."""
+    mgr = CheckpointManager(str(tmp_path))
+    state = {"x": jnp.ones((2,))}
+    mgr.save_epoch(state, 1, 10)
+
+    orig_save = save_checkpoint
+    seen = {}
+
+    def checking_save(path, st, meta=None):
+        # at the moment the NEW file is written, the OLD one must still exist
+        seen["old_present"] = os.path.isfile(
+            os.path.join(str(tmp_path), "ep1-it10.npz"))
+        return orig_save(path, st, meta)
+
+    import msnv_tpu.training.checkpoint as ckpt_mod
+    monkeypatch.setattr(ckpt_mod, "save_checkpoint", checking_save)
+    mgr.save_epoch(state, 2, 20)
+    assert seen["old_present"]
+    names = sorted(os.listdir(str(tmp_path)))
+    assert names == ["ep2-it20.npz"]   # old one retired AFTER the write
+
+
+def test_look_ahead_cache_invalidated_on_rebuild(tmp_path):
+    """A *_ahead.npy older than its base cond cache is regenerated, not
+    silently reused (stale look-ahead after a corpus rebuild)."""
+    import time as _time
+    from msnv_tpu.data.corpus import _look_ahead
+    cond_path = str(tmp_path / "conditioners_joint.npy")
+    cond1 = np.arange(2 * 3 * 2, dtype=np.float32).reshape(2, 3, 2)
+    np.save(cond_path, cond1)
+    out1 = _look_ahead(cond1, cond_path)
+    assert out1.shape == (2, 3, 4)
+    _time.sleep(0.05)
+    cond2 = cond1 + 100.0
+    np.save(cond_path, cond2)          # corpus rebuilt: cond cache newer
+    out2 = _look_ahead(cond2, cond_path)
+    np.testing.assert_array_equal(out2[:, :, :2], cond2)
+
+
+def test_corpus_clamps_full_scale_audio(tmp_path):
+    """Float WAVs carrying samples at +1.0 full scale must not produce
+    out-of-range level-q training targets (ops/quantize.py's 'packer
+    clamps upstream' contract)."""
+    from msnv_tpu.data.corpus import CorpusConfig, build_corpus
+    from msnv_tpu.data.loader import ChunkLoader
+    from msnv_tpu.data.synthetic import make_synthetic_corpus
+    root = str(tmp_path)
+    make_synthetic_corpus(root, n_speakers=1, utts_per_speaker=2,
+                          frames_per_utt=80, cond_len=16)
+    # overwrite one utterance with float32 full-scale samples
+    from msnv_tpu.data.wavio import write_wav
+    name = sorted(os.listdir(os.path.join(root, "wav")))[0]
+    n = 80 * 16
+    loud = np.ones((n,), np.float32)
+    loud[::2] = -1.0
+    write_wav(os.path.join(root, "wav", name), loud, 16000,
+              dtype="float32")
+    ccfg = CorpusConfig(datasets_path=root,
+                        wav_path=os.path.join(root, "wav"),
+                        cond_path=os.path.join(root, "cond"),
+                        overlap_len=16, seq_len=32, batch_size=2,
+                        cond_len=16, norm_ind=False,
+                        cache_dir=os.path.join(root, "npy"))
+    corpus = build_corpus(ccfg, "train")
+    loader = ChunkLoader(corpus, 32, 16, 16)
+    for k in range(len(loader)):
+        ch = loader.get_chunk(k)
+        assert ch.data.max() < 256 and ch.target.max() < 256
+        assert ch.data.min() >= 0
+
+
+def test_generate_fn_dynamic_single_compile():
+    """generate_fn_dynamic compiles once across changing params (the
+    GeneratorPlugin path — generate_fn would recompile per epoch)."""
+    from msnv_tpu.models.generate import generate_fn_dynamic
+    cfg = ModelConfig(frame_sizes=(2, 2), n_rnn=1, dim=8, cond_dim=3,
+                      spk_dim=2)
+    gen = generate_fn_dynamic(cfg)
+    cond = jnp.zeros((2, 2, 3))
+    spk = jnp.zeros((2,), jnp.int32)
+    p1 = init_params(jax.random.PRNGKey(0), cfg)
+    p2 = init_params(jax.random.PRNGKey(1), cfg)
+    a1, _ = gen(p1, cond, spk, jax.random.PRNGKey(2))
+    a2, _ = gen(p2, cond, spk, jax.random.PRNGKey(2))
+    assert gen._cache_size() == 1
+    assert not np.array_equal(np.asarray(a1), np.asarray(a2))
+    # parity with the baked-params path
+    from msnv_tpu.models.generate import generate_fn
+    a3, _ = generate_fn(p1, cfg)(cond, spk, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a3))
