@@ -28,11 +28,8 @@ def main():
     import jax
     # persistent compile cache: the big generation graphs take minutes to
     # compile cold but ~1s warm (works through the remote-compile tunnel)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from msnv_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
     import jax.numpy as jnp
     from msnv_tpu.config import preset
     from msnv_tpu.models.generate import generate_fn
@@ -51,7 +48,9 @@ def main():
     # ---- generation throughput ------------------------------------------
     # modes: pallas (bf16 fused window kernel, default) | xla (f32
     # nested-scan fallback)
-    mode = os.environ.get("BENCH_MODE", "pallas")
+    on_tpu = platform == "tpu"
+    # pallas kernels lower on TPU only; elsewhere default to the XLA paths
+    mode = os.environ.get("BENCH_MODE", "pallas" if on_tpu else "xla")
     gen_batch = int(os.environ.get("BENCH_GEN_BATCH", "1024"))
     frames = int(os.environ.get("BENCH_GEN_FRAMES", "100"))  # 0.5 s/utt
     rng = np.random.RandomState(0)
@@ -95,7 +94,8 @@ def main():
     # and bf16 mixed precision (f32 Adam masters, f32 log-softmax — the
     # TPU-idiomatic default; BENCH_TRAIN_DTYPE=f32 for the full-f32 number)
     import dataclasses
-    gru_impl = os.environ.get("BENCH_GRU_IMPL", "pallas")
+    gru_impl = os.environ.get("BENCH_GRU_IMPL",
+                              "pallas" if on_tpu else "xla")
     train_dtype = os.environ.get("BENCH_TRAIN_DTYPE", "bf16")
     step = make_train_step(dataclasses.replace(m, gru_impl=gru_impl),
                            optimizer, donate=True,
@@ -132,7 +132,8 @@ def main():
         "metric": "generation_audio_seconds_per_s_per_chip",
         "value": round(gen_tput, 3),
         "unit": "audio_s/s/chip",
-        "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
+        "vs_baseline": (round(vs_baseline, 1) if vs_baseline is not None
+                        else None),
         "extras": {
             "platform": platform,
             "device": device_kind,
@@ -143,7 +144,8 @@ def main():
             "train_samples_per_s": round(train_tput),
             "train_dtype": train_dtype,
             "train_step_wall_s": round(train_dt, 4),
-            "train_vs_baseline": round(vs_train, 1) if vs_train else None,
+            "train_vs_baseline": (round(vs_train, 1)
+                                  if vs_train is not None else None),
             "baseline_hw": "reference torch-CPU (see reference_baseline.json)",
         },
     }

@@ -29,7 +29,10 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.isfile(_SO_PATH) and os.path.isfile(
+    src = os.path.join(_NATIVE_DIR, "msnv_data.cc")
+    stale = (os.path.isfile(_SO_PATH) and os.path.isfile(src)
+             and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+    if (not os.path.isfile(_SO_PATH) or stale) and os.path.isfile(
             os.path.join(_NATIVE_DIR, "Makefile")):
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,

@@ -5,6 +5,7 @@ only); here: jax.profiler traces + a simple step timer for roofline checks.
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 
 import numpy as np
@@ -59,3 +60,19 @@ def roofline(flops: float, bytes_moved: float, wall_s: float,
         "bw_util": bytes_moved / wall_s / peak_bw,
         "arithmetic_intensity": flops / max(bytes_moved, 1.0),
     }
+
+
+def enable_compile_cache(repo_root: str | None = None) -> None:
+    """Point jax at the repo-local persistent compile cache (.jax_cache) —
+    the big generation graphs cold-compile in minutes but reload in ~1 s.
+    Safe on jax versions without the config keys (no-op)."""
+    import jax
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(repo_root, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass

@@ -154,7 +154,9 @@ int msnv_parse_floats(const char* path, double** out, int64_t* n_values,
     if (end == p) { free(vals); free(text); return -3; }
     if (n == cap) {
       cap *= 2;
-      vals = (double*)realloc(vals, sizeof(double) * cap);
+      double* grown = (double*)realloc(vals, sizeof(double) * cap);
+      if (!grown) { free(vals); free(text); return -2; }
+      vals = grown;
     }
     vals[n++] = v;
     if (counting_first_row) first_row_cols++;

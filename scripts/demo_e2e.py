@@ -110,6 +110,9 @@ def main():
         json.dump(report, f, indent=2)
     print(json.dumps(report))
     assert report["learned"], "NLL did not drop by 2+ bits"
+    assert report["spectra_ok"], (
+        "generated spectra off their speaker fundamentals — the pipeline "
+        "trained but synthesis regressed")
 
 
 if __name__ == "__main__":

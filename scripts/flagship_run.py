@@ -55,11 +55,8 @@ def main():
     import jax
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from msnv_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
 
     from msnv_tpu.cli.generate import main as gen_main
     from msnv_tpu.cli.train import main as train_main
@@ -68,8 +65,12 @@ def main():
 
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
-    data_dir = os.path.join(out, "datasets")
-    results = os.path.join(out, "results")
+    # scale-specific corpus/results dirs: reusing --out across --tiny and
+    # full runs must not silently reuse the other scale's corpus or npy
+    # caches (they encode different cond_len/batch/seq geometry)
+    scale = "tiny" if args.tiny else "full"
+    data_dir = os.path.join(out, f"datasets_{scale}")
+    results = os.path.join(out, f"results_{scale}")
 
     n_spk = 6
     if args.tiny:
@@ -111,7 +112,10 @@ def main():
         os.chdir(cwd)
     train_wall = time.time() - t0
 
-    exp_dir = os.path.join(results, os.listdir(results)[0])
+    # several tags can accumulate under results (reruns with different
+    # flags): take the most recently modified one — this run's
+    exp_dir = max((os.path.join(results, d) for d in os.listdir(results)),
+                  key=os.path.getmtime)
     best = sorted(glob.glob(os.path.join(exp_dir, "checkpoints", "best-*")))
     model_path = best[-1]
     with open(os.path.join(exp_dir, "stats.json")) as f:
@@ -168,7 +172,12 @@ def main():
     with open(os.path.join(out, "flagship_report.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
-    print("PASS" if rho == 1.0 else "CHECK: spectral ranking != 1.0")
+    ok = rho == 1.0
+    print("PASS" if ok else "CHECK: spectral ranking != 1.0")
+    if not ok and not args.tiny:
+        # full-scale validation MUST rank all six fundamentals correctly;
+        # tiny smoke only exercises the mechanics
+        sys.exit(1)
 
 
 if __name__ == "__main__":

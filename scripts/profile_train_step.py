@@ -44,11 +44,8 @@ def timeit(fn, *args, runs=10):
 
 if __name__ == "__main__":
     import jax
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from msnv_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     from msnv_tpu.config import preset
     from msnv_tpu.models.samplernn import (

@@ -47,11 +47,8 @@ def main():
     from msnv_tpu.models.generate import streaming_fn
     from msnv_tpu.models.samplernn import init_params
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from msnv_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
 
     cfg = preset(args.preset)
     m = cfg.model
