@@ -67,6 +67,30 @@ def worker(process_id: int):
         params, opt_state, state, loss = step(
             params, opt_state, state, data, jnp.asarray(k == 0), target,
             cond, spk)
+    # --- shared-filesystem discipline: corpus cache + npz checkpoints ---
+    # both processes enter build_corpus COLD; process 0 must build alone
+    # (others barrier then load) — no torn concurrent np.save's
+    sim_tmp = os.environ["MSNV_SIM_TMP"]
+    from msnv_tpu.data.corpus import CorpusConfig, build_corpus
+    ccfg = CorpusConfig(
+        datasets_path=sim_tmp, wav_path=os.path.join(sim_tmp, "wav"),
+        cond_path=os.path.join(sim_tmp, "cond"), overlap_len=16,
+        seq_len=32, batch_size=2, cond_len=16, norm_ind=False,
+        cache_dir=os.path.join(sim_tmp, "npy"))
+    corpus = build_corpus(ccfg, "train")
+    assert corpus.data.shape[0] == 2
+
+    # npz checkpoints: only process 0 writes; the barrier inside _save
+    # fences the other host, which must then be able to restore
+    from msnv_tpu.training.checkpoint import (CheckpointManager,
+                                              load_checkpoint)
+    mgr = CheckpointManager(os.path.join(sim_tmp, "ckpts"))
+    mgr.save_epoch({"params": params}, 1, 10)
+    latest = mgr.latest()
+    assert latest is not None, "no checkpoint visible after fenced save"
+    restored, meta = load_checkpoint(latest[0], {"params": params})
+    assert meta["epoch"] == 1
+
     print(f"MULTIHOST_OK process={process_id} global_devices={n_global} "
           f"loss={float(loss):.6f}", flush=True)
 
@@ -78,11 +102,20 @@ def main():
     if args.worker is not None:
         worker(args.worker)
         return
+    # fixture corpus for the shared-filesystem checks (built BEFORE the
+    # workers spawn; the workers race only on the npy cache build)
+    import tempfile
+    sim_tmp = tempfile.mkdtemp(prefix="msnv_mh_")
+    sys.path.insert(0, REPO)
+    from msnv_tpu.data.synthetic import make_synthetic_corpus
+    make_synthetic_corpus(sim_tmp, n_speakers=2, utts_per_speaker=2,
+                          frames_per_utt=40, cond_len=16)
+    env = dict(os.environ, MSNV_SIM_TMP=sim_tmp)
     procs = [
         subprocess.Popen([sys.executable, os.path.abspath(__file__),
                           "--worker", str(i)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                         text=True)
+                         text=True, env=env)
         for i in range(N_PROC)
     ]
     outputs = [pr.communicate(timeout=600)[0] for pr in procs]
