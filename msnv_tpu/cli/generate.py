@@ -102,9 +102,23 @@ def main(argv=None):
 
     with open(args.cond_list) as f:
         utts = f.read().split()
+
+    def parse_spk(entry):
+        # eigen-voice (thesis sec 3.3): "0.5,0.5,0,..." mixes the trained
+        # speaker embeddings into a new voice; a bare int is a speaker id
+        if "," in entry:
+            w = np.asarray([float(x) for x in entry.split(",")], np.float32)
+            return w
+        return int(entry)
+
     with open(args.spk_list) as f:
-        spks = [int(s) for s in f.read().split()]
+        spks = [parse_spk(s) for s in f.read().split()]
     assert len(utts) == len(spks), "cond/spk list length mismatch"
+    for s_ in spks:
+        if isinstance(s_, np.ndarray):
+            assert s_.shape[0] == m.spk_dim, (
+                f"speaker weight vector needs {m.spk_dim} entries, "
+                f"got {s_.shape[0]}")
 
     mel_sfx = "_mel" if args.cond_source == "mel" else ""
     mm_path = args.min_max or os.path.join(
@@ -120,8 +134,12 @@ def main(argv=None):
                                       m.cond_len)
         else:
             cond = load_cond_utterance(args.cond_path, name)
+        # mixed voices normalize with the dominant speaker's table
+        # (per-speaker min/max is only defined for trained speakers)
+        norm_spk = (int(np.argmax(spk)) if isinstance(spk, np.ndarray)
+                    else spk)
         cond = normalize_cond(cond, min_cond, max_cond,
-                              speaker=spk, norm_ind=args.norm_ind)
+                              speaker=norm_spk, norm_ind=args.norm_ind)
         if m.look_ahead:
             delayed = np.copy(cond)
             delayed[:-1] = delayed[1:]
@@ -153,8 +171,17 @@ def main(argv=None):
     else:
         gen = generate_fn(params, m, unroll=m.frame_sizes[0])
     print(f"generation engine: {engine}")
-    audio, _ = gen(jnp.asarray(batch),
-                   jnp.asarray(np.asarray(spks), jnp.int32),
+    if any(isinstance(s_, np.ndarray) for s_ in spks):
+        # at least one mixed voice: promote every entry to a weight vector
+        # (int ids become one-hots) — generate_fn's float-spk path mixes
+        # the speaker embeddings
+        rows = [s_ if isinstance(s_, np.ndarray)
+                else np.eye(m.spk_dim, dtype=np.float32)[s_]
+                for s_ in spks]
+        spk_arr = jnp.asarray(np.stack(rows), jnp.float32)
+    else:
+        spk_arr = jnp.asarray(np.asarray(spks), jnp.int32)
+    audio, _ = gen(jnp.asarray(batch), spk_arr,
                    jax.random.PRNGKey(args.seed))
     audio = np.asarray(audio)
 
@@ -166,8 +193,10 @@ def main(argv=None):
         ckpt_name = ckpt_name.removesuffix(ext)
     for i, (name, spk) in enumerate(zip(utts, spks)):
         wav = audio[i, : lengths[i] * m.lookback]
+        label = ("mix" + "-".join(f"{w:g}" for w in spk)
+                 if isinstance(spk, np.ndarray) else str(spk))
         out = os.path.join(out_dir,
-                           f"{ckpt_name}_file-{name}_spk-{spk}.wav")
+                           f"{ckpt_name}_file-{name}_spk-{label}.wav")
         write_wav(out, wav, 16000)
         print("wrote", out, f"({wav.shape[0] / 16000.0:.2f}s)")
 

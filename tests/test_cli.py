@@ -136,3 +136,39 @@ def test_evaluate_cli(trained, capsys):
     import re
     m = re.search(r"NLL ([\d.]+) bits", out)
     assert m and 0.0 < float(m.group(1)) < 10.0
+
+
+def test_generate_cli_eigen_voice(trained):
+    """spk_list entries as comma-separated weights mix speaker embeddings
+    (thesis sec 3.3 eigen-voice) straight from the CLI."""
+    root, data_dir, results = trained
+    exp_dir = os.path.join(results, os.listdir(results)[0])
+    ckpts = [c for c in os.listdir(os.path.join(exp_dir, "checkpoints"))
+             if c.startswith("best-")]
+    model_path = os.path.join(exp_dir, "checkpoints", ckpts[0])
+    names = sorted(os.path.splitext(f)[0] for f in
+                   os.listdir(os.path.join(data_dir, "wav")))[:2]
+    gen_cond = os.path.join(root, "mix_cond.list")
+    gen_spk = os.path.join(root, "mix_spk.list")
+    with open(gen_cond, "w") as f:
+        f.write("\n".join(names))
+    with open(gen_spk, "w") as f:
+        f.write("0.3,0.7\n1\n")      # one mixed voice, one plain id
+
+    out_dir = os.path.join(root, "mix_out")
+    from msnv_tpu.cli.generate import main as gen_main
+    gen_main([
+        "--model", model_path,
+        "--cond_path", os.path.join(data_dir, "cond"),
+        "--cond_list", gen_cond, "--spk_list", gen_spk,
+        "--min_max", os.path.join(data_dir, "npy_datasets",
+                                  "min_max_joint.npy"),
+        "--out_dir", out_dir,
+    ])
+    wavs = sorted(os.listdir(out_dir))
+    assert len(wavs) == 2
+    assert any("spk-mix0.3-0.7" in w for w in wavs)
+    from msnv_tpu.data.wavio import read_wav
+    for w in wavs:
+        audio, sr = read_wav(os.path.join(out_dir, w))
+        assert np.isfinite(audio).all() and audio.shape[0] > 0
