@@ -6,7 +6,15 @@ import numpy as np
 import pytest
 
 
+from msnv_tpu.ops.interpolate import interpolation
+
+
 def ref_interpolation():
+    # deferred: a checkout without the read-only reference repo must not
+    # crash collection of this whole file (skip the parity tests instead)
+    import os
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not available")
     sys.path.insert(0, "/root/reference")
     try:
         from interpolate import interpolation as ref_interp
@@ -15,9 +23,16 @@ def ref_interpolation():
         sys.path.remove("/root/reference")
 
 
-from msnv_tpu.ops.interpolate import interpolation
+class _LazyRef:
+    _fn = None
 
-REF = ref_interpolation()
+    def __call__(self, *a, **k):
+        if _LazyRef._fn is None:
+            _LazyRef._fn = ref_interpolation()
+        return _LazyRef._fn(*a, **k)
+
+
+REF = _LazyRef()
 UNVOICED = -1e10
 
 

@@ -104,7 +104,8 @@ def test_mel_cache_does_not_alias_ahocoder(mel_env):
                        "train")
     for k in ("data", "cond", "spk", "min_max"):
         assert mel_names[k] != aho_names[k]
-    assert os.path.isfile(mel_names["cond"])   # written by previous test
+    build_corpus(cfg, "train")       # idempotent; loads cache if present
+    assert os.path.isfile(mel_names["cond"])
 
 
 def test_mel_corpus_trains(mel_env):

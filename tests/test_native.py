@@ -16,7 +16,8 @@ def require_native():
 
 
 def test_native_builds():
-    assert native.available()
+    # available() is guaranteed by the autouse fixture; the substantive
+    # check is that the loader built/loaded the actual shared object
     assert os.path.isfile(native._SO_PATH)
 
 

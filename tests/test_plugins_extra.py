@@ -19,7 +19,8 @@ from msnv_tpu.training.trainer import Trainer
 
 
 @pytest.fixture(scope="module")
-def setup(tmp_path_factory):
+def corpus_loader(tmp_path_factory):
+    # module-scoped: the corpus build is the expensive part
     root = str(tmp_path_factory.mktemp("plug"))
     make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=2,
                           frames_per_utt=150, cond_len=16)
@@ -29,7 +30,14 @@ def setup(tmp_path_factory):
         batch_size=4, cond_len=16, norm_ind=False,
         cache_dir=os.path.join(root, "npy"))
     corpus = build_corpus(ccfg, "train")
-    loader = ChunkLoader(corpus, 64, 16, 16)
+    return ChunkLoader(corpus, 64, 16, 16), root
+
+
+@pytest.fixture()
+def setup(corpus_loader):
+    # function-scoped trainer: tests mutate trainer.epochs/plugins, so
+    # sharing one instance couples them to execution order
+    loader, root = corpus_loader
     cfg = ExperimentConfig(
         exp="plug",
         model=ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=24, cond_dim=43,
@@ -62,34 +70,11 @@ def test_tensorboard_plugin(setup, tmp_path):
     log_dir = str(tmp_path / "tb")
     tb = TensorBoardPlugin(log_dir)
     trainer.register_plugin(tb)
-    trainer.run(trainer.epochs + 1)
+    trainer.run(1)
     if tb.writer is None:
         pytest.skip("tensorboardX unavailable")
     files = os.listdir(log_dir)
     assert any("tfevents" in f for f in files)
-
-
-def test_plotlog_log_regex_parser(tmp_path):
-    """plotlog falls back to regex-parsing the tee'd log when stats.json is
-    absent (ref plotlog.py capability)."""
-    from msnv_tpu.cli.plotlog import parse_log, main as plot_main
-    log = tmp_path / "log"
-    log.write_text(
-        "experiment tag: x\n"
-        "it 100\ttraining_loss: 4.5000\ttraining_loss/running_avg: 4.6000\n"
-        "it 200\ttraining_loss: 4.2000\ttraining_loss/running_avg: 4.4000\n"
-        "epoch 1\ttraining_loss: 4.2000\tvalidation_loss: 4.3000\t"
-        "test_loss: 4.4000\ttime: 12.3\n")
-    d = parse_log(str(log))
-    assert d["iterations"] == [100, 200]
-    assert d["training_loss"] == [4.5, 4.2]
-    assert d["running_avg"] == [4.6, 4.4]
-    assert d["epochs"] == [1]
-    assert d["validation_loss"] == [4.3]
-    assert d["test_loss"] == [4.4]
-    out = str(tmp_path / "nll.png")
-    plot_main([str(tmp_path), "--out", out])
-    assert os.path.isfile(out)
 
 
 def test_experiment_logger_plugin():

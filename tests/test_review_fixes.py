@@ -47,6 +47,7 @@ def test_learn_h0_false_freezes_h0():
                       spk_dim=2, learn_h0=False)
     tc = TrainConfig(seq_len=32, batch_size=2, learning_rate=1e-2)
     params = init_params(jax.random.PRNGKey(0), cfg)
+    w0 = np.asarray(params["mlp"]["hidden"]["w"]).copy()
     opt = make_optimizer(tc)
     opt_state = opt.init(params)
     state = init_tier_state(cfg, 2)
@@ -63,8 +64,9 @@ def test_learn_h0_false_freezes_h0():
             cond, spk)
     for tier in params["tiers"]:
         np.testing.assert_array_equal(np.asarray(tier["h0"]), 0.0)
-    # other params did move
-    assert float(jnp.abs(params["mlp"]["hidden"]["w"]).sum()) > 0
+    # other params did actually train (vs their initial values — h0
+    # freezing must not over-freeze the rest of the tree)
+    assert not np.array_equal(np.asarray(params["mlp"]["hidden"]["w"]), w0)
 
 
 def test_best_loss_survives_manager_restart(tmp_path):
@@ -118,11 +120,31 @@ def test_warm_start_params_only(tmp_path):
                                                  "checkpoints"))
               if c.startswith("ep")][0]
         # warm start at a DIFFERENT batch size: params-only restore
-        train_main(["--exp", "b", "--batch_size", "2", "--model",
-                    os.path.join(results, exp_a, "checkpoints", ck)]
+        ck_path = os.path.join(results, exp_a, "checkpoints", ck)
+        train_main(["--exp", "b", "--batch_size", "2", "--model", ck_path]
                    + common)
         exp_b = [d for d in os.listdir(results) if "exp:b" in d][0]
-        assert os.path.isdir(os.path.join(results, exp_b, "checkpoints"))
+        # the weights really came from exp-a's checkpoint: exp-b's saved
+        # epoch-1 params must be nearer the warm start than a fresh init
+        # trained identically would be — check directly by distance from
+        # the warm-start weights vs from a fresh init
+        from msnv_tpu.training.checkpoint import load_checkpoint
+        cfg_b = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16,
+                            cond_dim=43, cond_len=16, spk_dim=2)
+        template = {"params": init_params(jax.random.PRNGKey(0), cfg_b)}
+        warm = load_checkpoint(ck_path, template)[0]["params"]
+        ck_b = [c for c in os.listdir(os.path.join(results, exp_b,
+                                                   "checkpoints"))
+                if c.startswith("ep")][0]
+        after = load_checkpoint(
+            os.path.join(results, exp_b, "checkpoints", ck_b),
+            template)[0]["params"]
+        d_warm = float(jnp.abs(after["mlp"]["hidden"]["w"]
+                               - warm["mlp"]["hidden"]["w"]).mean())
+        fresh = init_params(jax.random.PRNGKey(77977), cfg_b)
+        d_fresh = float(jnp.abs(after["mlp"]["hidden"]["w"]
+                                - fresh["mlp"]["hidden"]["w"]).mean())
+        assert d_warm < d_fresh, (d_warm, d_fresh)
     finally:
         os.chdir(cwd)
 
@@ -179,16 +201,17 @@ def test_save_epoch_writes_before_deleting(tmp_path, monkeypatch):
 def test_look_ahead_cache_invalidated_on_rebuild(tmp_path):
     """A *_ahead.npy older than its base cond cache is regenerated, not
     silently reused (stale look-ahead after a corpus rebuild)."""
-    import time as _time
     from msnv_tpu.data.corpus import _look_ahead
     cond_path = str(tmp_path / "conditioners_joint.npy")
     cond1 = np.arange(2 * 3 * 2, dtype=np.float32).reshape(2, 3, 2)
     np.save(cond_path, cond1)
     out1 = _look_ahead(cond1, cond_path)
     assert out1.shape == (2, 3, 4)
-    _time.sleep(0.05)
     cond2 = cond1 + 100.0
     np.save(cond_path, cond2)          # corpus rebuilt: cond cache newer
+    # don't rely on filesystem mtime granularity: set it explicitly
+    st = os.stat(cond_path.replace(".npy", "_ahead.npy"))
+    os.utime(cond_path, (st.st_atime, st.st_mtime + 2.0))
     out2 = _look_ahead(cond2, cond_path)
     np.testing.assert_array_equal(out2[:, :, :2], cond2)
 

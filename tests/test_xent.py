@@ -38,10 +38,14 @@ def test_extreme_logits_stable():
 
 
 def test_train_step_loss_matches_log_prob_path():
-    """make_train_step's fused-loss value equals the log-prob formulation."""
+    """The fused logits+NLL path equals the log-prob formulation, AND
+    make_train_step's first reported loss (which wires that fused path)
+    matches the hand-computed log-prob loss on the same chunk."""
     from msnv_tpu.config import preset
     from msnv_tpu.models.samplernn import (init_params, init_tier_state,
                                            predictor_apply)
+    from msnv_tpu.training.optim import make_optimizer
+    from msnv_tpu.training.step import make_train_step
     cfg = preset("tiny_unconditional")
     m = cfg.model
     params = init_params(jax.random.PRNGKey(0), m)
@@ -60,5 +64,14 @@ def test_train_step_loss_matches_log_prob_path():
     np.testing.assert_allclose(np.asarray(jax.nn.log_softmax(lg, -1)),
                                np.asarray(lp), rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(float(nll_bits_from_logits(lg, target)),
+                               float(sequence_nll_loss_bits(lp, target)),
+                               rtol=1e-6)
+    # and through the ACTUAL train step (covers step.py's wiring: target
+    # slicing, f32 upcast, fused loss)
+    opt = make_optimizer(cfg.train)
+    step = make_train_step(m, opt, donate=False)
+    _, _, _, loss = step(params, opt.init(params), state, data,
+                         jnp.asarray(True), target, cond, spk)
+    np.testing.assert_allclose(float(loss),
                                float(sequence_nll_loss_bits(lp, target)),
                                rtol=1e-6)
