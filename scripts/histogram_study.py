@@ -64,7 +64,7 @@ def main():
     from msnv_tpu.data.synthetic import make_synthetic_corpus
     from msnv_tpu.models.generate import generate_fn
     from msnv_tpu.models.samplernn import init_params, init_tier_state
-    from msnv_tpu.ops.quantize import uquantize_np
+    from msnv_tpu.ops.quantize import udequantize
     from msnv_tpu.training.optim import make_optimizer
     from msnv_tpu.training.step import make_train_step
     from ref_compat import copy_params_to_torch, import_reference_model
@@ -114,6 +114,18 @@ def main():
     frames = args.frames
     gen_ours = generate_fn(params, cfg)
 
+    # levels must be recovered EXACTLY: re-quantizing the dequantized float
+    # output hits the mu-law bin-edge drift quirk (ops/quantize.py)
+    # differently under torch-f32 vs numpy-f64 rounding and fabricates
+    # ~0.1 nats of KL. Nearest level center is rounding-robust (half-bin
+    # tolerance vs ~1e-7 float noise); ours returns levels directly.
+    grid = np.asarray(udequantize(np.arange(cfg.q_levels), cfg.q_levels),
+                      np.float64)
+
+    def to_levels(wav):
+        return np.argmin(np.abs(np.asarray(wav, np.float64)[:, None]
+                                - grid[None, :]), axis=1)
+
     results = []
     all_ref, all_ours, all_ref2 = [], [], []
     for lane in range(6):
@@ -128,13 +140,12 @@ def main():
                 torch.manual_seed(900 + lane)   # noise-floor twin
                 wav_ref2 = gen_ref(1, frames * cfg.lookback, cond,
                                    spk).numpy()[0]
-        audio, _ = gen_ours(jnp.asarray(cond[None]),
-                            jnp.asarray([spk], jnp.int32),
-                            jax.random.PRNGKey(lane))
-        lv_ref = np.asarray(uquantize_np(wav_ref.astype(np.float64)))
-        lv_ref2 = np.asarray(uquantize_np(wav_ref2.astype(np.float64)))
-        lv_ours = np.asarray(uquantize_np(
-            np.asarray(audio[0], np.float64)))
+        _audio, seq = gen_ours(jnp.asarray(cond[None]),
+                               jnp.asarray([spk], jnp.int32),
+                               jax.random.PRNGKey(lane))
+        lv_ref = to_levels(wav_ref)
+        lv_ref2 = to_levels(wav_ref2)
+        lv_ours = np.asarray(seq[0])
         all_ref.append(lv_ref)
         all_ref2.append(lv_ref2)
         all_ours.append(lv_ours)
