@@ -91,6 +91,21 @@ def worker(process_id: int):
     restored, meta = load_checkpoint(latest[0], {"params": params})
     assert meta["epoch"] == 1
 
+    # orbax backend: every process writes its owned shards collectively,
+    # then both restore — the real multi-host checkpoint path
+    from msnv_tpu.training.checkpoint import load_checkpoint_orbax
+    omgr = CheckpointManager(os.path.join(sim_tmp, "ckpts_orbax"),
+                             backend="orbax")
+    omgr.save_epoch({"params": params}, 2, 20, val_loss=1.0)
+    olatest = omgr.latest()
+    assert olatest is not None and olatest[0].endswith(".orbax")
+    orestored, ometa = load_checkpoint_orbax(olatest[0], {"params": params})
+    assert ometa["epoch"] == 2
+    import numpy as _np
+    _np.testing.assert_array_equal(
+        _np.asarray(orestored["params"]["mlp"]["embedding"]),
+        _np.asarray(params["mlp"]["embedding"]))
+
     print(f"MULTIHOST_OK process={process_id} global_devices={n_global} "
           f"loss={float(loss):.6f}", flush=True)
 
