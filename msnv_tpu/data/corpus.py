@@ -191,19 +191,23 @@ def build_corpus(cfg: CorpusConfig, partition: str,
         return all(os.path.isfile(names[k])
                    for k in ("data", "cond", "spk", "min_max"))
 
-    if _cached() and use_cache:
-        return load_corpus(cfg, partition)
-
     import jax
     if jax.process_count() > 1:
+        # the barrier must be UNCONDITIONAL per call: deciding it from the
+        # cache state races (process 0 can finish building before another
+        # process first probes the cache, leaving them at different
+        # barriers). Every process syncs exactly once per partition.
         from jax.experimental import multihost_utils
-        if jax.process_index() != 0:
-            multihost_utils.sync_global_devices(
-                f"msnv-corpus-{partition}")
-            return load_corpus(cfg, partition)
-        corpus = _build_corpus_local(cfg, partition, names)
+        corpus = None
+        if jax.process_index() == 0:
+            corpus = (load_corpus(cfg, partition)
+                      if _cached() and use_cache
+                      else _build_corpus_local(cfg, partition, names))
         multihost_utils.sync_global_devices(f"msnv-corpus-{partition}")
-        return corpus
+        return corpus if corpus is not None else load_corpus(cfg, partition)
+
+    if _cached() and use_cache:
+        return load_corpus(cfg, partition)
     return _build_corpus_local(cfg, partition, names)
 
 

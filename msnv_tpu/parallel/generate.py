@@ -13,7 +13,22 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+import inspect as _inspect
+
+try:                       # jax >= 0.8 moved it out of experimental
+    from jax import shard_map as _shard_map
+except ImportError:        # pragma: no cover — older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+# the replication-check kwarg was renamed check_rep -> check_vma in 0.8
+_CHECK_KW = ("check_vma" if "check_vma"
+             in _inspect.signature(_shard_map).parameters else "check_rep")
+
+
+def shard_map(*args, **kwargs):
+    if "check_rep" in kwargs:
+        kwargs[_CHECK_KW] = kwargs.pop("check_rep")
+    return _shard_map(*args, **kwargs)
 from jax.sharding import PartitionSpec as P
 
 from msnv_tpu.config import ModelConfig

@@ -126,7 +126,6 @@ def main():
         return np.argmin(np.abs(np.asarray(wav, np.float64)[:, None]
                                 - grid[None, :]), axis=1)
 
-    results = []
     all_ref, all_ours, all_ref2 = [], [], []
     for lane in range(6):
         cond = np.asarray(corpus.cond[lane, 1:1 + frames], np.float32)
