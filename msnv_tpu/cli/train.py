@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="call jax.distributed.initialize() for pod slices")
     p.add_argument("--save_every_iterations", type=int, default=0,
                    help="mid-epoch checkpoint interval (0 = per epoch only)")
+    p.add_argument("--metrics_every", type=int, default=0,
+                   help="score objective copy-synthesis metrics (MCD, F0 "
+                        "RMSE, V/UV error) on fixed validation utterances "
+                        "every N epochs (0 = off)")
     p.add_argument("--bf16", type=parse_bool, default=False,
                    help="mixed-precision training (bf16 matmuls, f32 masters)")
     p.add_argument("--show_dataset", type=parse_bool, default=False,
@@ -179,14 +183,14 @@ def main(argv=None):
                   f"target {chunk.target.shape} cond {chunk.cond.shape} "
                   f"spk {chunk.spk.shape} reset {chunk.reset}")
         return
-    val_loader = test_loader = None
+    val_loader = test_loader = val_corpus = None
     for part, name in (("validation", "val_loader"), ("test", "test_loader")):
         try:
             c = build_corpus(ccfg, part)
             l = ChunkLoader(c, args.seq_len, ccfg.overlap_len,
                             args.cond_len, args.q_levels, args.ulaw)
             if part == "validation":
-                val_loader = l
+                val_loader, val_corpus = l, c
             else:
                 test_loader = l
         except (FileNotFoundError, ValueError) as e:
@@ -231,9 +235,32 @@ def main(argv=None):
     trainer.register_plugin(AbsoluteTimeMonitor())
     trainer.register_plugin(SaverPlugin(
         manager, every_n_iterations=args.save_every_iterations))
-    trainer.register_plugin(Logger(
-        ["training_loss", "validation_loss", "test_loss", "time"]))
-    trainer.register_plugin(StatsPlugin(results_path))
+    log_fields = ["training_loss", "validation_loss", "test_loss", "time"]
+    if args.metrics_every:
+        if not args.ulaw:
+            # linear mode packs per-utterance-quantized levels, not the
+            # waveform — no aligned ground-truth audio to score against
+            print("metrics_every requires ulaw=true; skipping objective "
+                  "metrics")
+        else:
+            from msnv_tpu.data.corpus import utterance_slices
+            from msnv_tpu.training.plugins import ObjectiveMetricsPlugin
+            sl = utterance_slices(val_corpus if val_corpus is not None
+                                  else corpus, args.cond_len)
+            if sl is None:
+                print("no scorable utterances; skipping objective metrics")
+            else:
+                ref_audio, mcond, mspk = sl
+                trainer.register_plugin(ObjectiveMetricsPlugin(
+                    mcond, mspk, ref_audio, every=args.metrics_every,
+                    hop=args.cond_len,
+                    compute_dtype=jnp.bfloat16 if args.bf16 else None))
+                log_fields += ["mcd_db", "f0_rmse_hz", "vuv_error_rate"]
+    trainer.register_plugin(Logger(log_fields))
+    trainer.register_plugin(StatsPlugin(
+        results_path,
+        epoch_fields=tuple(f for f in log_fields
+                           if f != "training_loss")))
 
     trainer.run(args.epoch_limit)
 

@@ -313,6 +313,50 @@ def _build_corpus_local(cfg: CorpusConfig, partition: str, names) -> Corpus:
                   min_cond=min_cond, max_cond=max_cond, spk_ids=spk_ids)
 
 
+def utterance_slices(corpus: Corpus, cond_len: int, max_utts: int = 4,
+                     max_frames: int = 125):
+    """Fixed-length (audio, cond, spk) triples for objective copy-synthesis
+    scoring (eval/metrics.py): the first `max_utts` distinct utterances,
+    located as contiguous within-lane runs of `audio_id`, all truncated to
+    the shortest selected run (capped at `max_frames` conditioner frames)
+    so they batch into ONE generation call.
+
+    Returns (audio (k, F*cond_len) float, cond (k, F, D), spk (k,) int32)
+    or None when no run of >= 2 frames exists. The audio is the natural
+    waveform aligned to the exact conditioner frames the generator will
+    consume — the tightest possible copy-synthesis ground truth.
+    """
+    runs = []
+    seen = set()
+    n_lanes, lane_frames = corpus.audio_id.shape
+    for b in range(n_lanes):
+        ids = corpus.audio_id[b]
+        start = 0
+        for f in range(1, lane_frames + 1):
+            if f < lane_frames and ids[f] == ids[start]:
+                continue
+            uid = int(ids[start])
+            if uid not in seen and f - start >= 2:
+                seen.add(uid)
+                runs.append((b, start, f))
+            start = f
+            if len(runs) >= max_utts:
+                break
+        if len(runs) >= max_utts:
+            break
+    if not runs:
+        return None
+    n_frames = min(min(f1 - f0 for _, f0, f1 in runs), max_frames)
+    audio = np.stack([
+        corpus.data[b, f0 * cond_len:(f0 + n_frames) * cond_len]
+        for b, f0, _ in runs]).astype(np.float32)
+    cond = np.stack([corpus.cond[b, f0:f0 + n_frames]
+                     for b, f0, _ in runs]).astype(np.float32)
+    spk = np.asarray([int(corpus.spk[b, f0]) for b, f0, _ in runs],
+                     np.int32)
+    return audio, cond, spk
+
+
 def _look_ahead(cond: np.ndarray, cond_cache_path: str) -> np.ndarray:
     """Materialize look-ahead conditioners: cond ‖ cond shifted left one
     frame (the last frame duplicates) — ref dataset.py:213-221."""

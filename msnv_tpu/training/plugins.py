@@ -209,6 +209,59 @@ class GeneratorPlugin(Plugin):
                 audio[i], self.sample_rate)
 
 
+class ObjectiveMetricsPlugin(Plugin):
+    """Per-epoch objective copy-synthesis scoring — MCD (dB), F0 RMSE (Hz),
+    V/UV error rate (msnv_tpu.eval.metrics).
+
+    New capability: the reference tracks only NLL during training and
+    judged quality offline by MOS panels (ref doc/paper.pdf Table 1). This
+    generates from FIXED conditioners every `every` epochs and scores the
+    output against the natural recordings those conditioners came from
+    (see data/corpus.utterance_slices), surfacing the results as trainer
+    stats so Logger / StatsPlugin / TensorBoardPlugin pick them up.
+    """
+
+    def __init__(self, cond, spk, ref_audio, every: int = 1,
+                 sample_rate: int = 16000, hop: int = 80,
+                 compute_dtype=None):
+        self.cond = cond            # (k, frames, cond_dim_eff)
+        self.spk = spk              # (k,) int32
+        self.ref_audio = np.asarray(ref_audio)   # (k, frames*hop) float
+        self.every = every
+        self.sample_rate = sample_rate
+        self.hop = hop
+        self.compute_dtype = compute_dtype
+        self._gen = None
+
+    def register(self, trainer):
+        super().register(trainer)
+        for f in ("mcd_db", "f0_rmse_hz", "vuv_error_rate"):
+            trainer.stats.setdefault(f, {"log_format": ":.3f"})
+
+    def epoch(self, epoch_index: int):
+        if epoch_index % self.every:
+            return
+        import jax
+        import jax.numpy as jnp
+        from msnv_tpu.eval.metrics import evaluate_pair
+        from msnv_tpu.models.generate import generate_fn_dynamic
+        t = self.trainer
+        if self._gen is None:   # one compile for the whole run
+            self._gen = generate_fn_dynamic(
+                t.cfg.model, compute_dtype=self.compute_dtype)
+        audio, _ = self._gen(t.params, jnp.asarray(self.cond),
+                             jnp.asarray(self.spk),
+                             jax.random.PRNGKey(epoch_index))
+        audio = np.asarray(audio)
+        scores = [evaluate_pair(self.ref_audio[i], audio[i],
+                                sr=self.sample_rate, hop=self.hop)
+                  for i in range(audio.shape[0])]
+        for f in ("mcd_db", "f0_rmse_hz", "vuv_error_rate"):
+            vals = [s[f] for s in scores if np.isfinite(s[f])]
+            if vals:
+                t.stats[f]["last"] = float(np.mean(vals))
+
+
 class TensorBoardPlugin(Plugin):
     """Scalar logging to tensorboardX (ref train.py:263 SummaryWriter)."""
 

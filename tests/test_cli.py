@@ -59,6 +59,34 @@ def test_train_cli_outputs(trained):
     assert tl[-1] < tl[0]  # learned something
 
 
+def test_train_cli_objective_metrics(trained, tmp_path):
+    """--metrics_every scores MCD/F0/V-UV on validation utterances and
+    persists them to stats.json."""
+    root, data_dir, _ = trained
+    results = str(tmp_path / "results_metrics")
+    from msnv_tpu.cli.train import main as train_main
+    cwd = os.getcwd()
+    os.chdir(str(tmp_path))
+    try:
+        train_main([
+            "--exp", "clitest-metrics", "--frame_sizes", "4", "4",
+            "--n_rnn", "1", "--dim", "32", "--seq_len", "64",
+            "--batch_size", "4", "--cond_len", "16", "--norm_ind", "false",
+            "--datasets_path", data_dir, "--results_path", results,
+            "--epoch_limit", "1", "--learning_rate", "2e-3",
+            "--metrics_every", "1",
+        ])
+    finally:
+        os.chdir(cwd)
+    exp_dir = os.path.join(results, os.listdir(results)[0])
+    with open(os.path.join(exp_dir, "stats.json")) as f:
+        stats = json.load(f)
+    for field in ("mcd_db", "f0_rmse_hz", "vuv_error_rate"):
+        vals = [v for v in stats[field] if v is not None]
+        assert vals, (field, stats.keys())
+        assert np.isfinite(vals[-1])
+
+
 def test_train_cli_resume(trained):
     root, data_dir, results = trained
     from msnv_tpu.cli.train import main as train_main

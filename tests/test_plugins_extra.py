@@ -77,6 +77,61 @@ def test_tensorboard_plugin(setup, tmp_path):
     assert any("tfevents" in f for f in files)
 
 
+def test_utterance_slices_alignment(corpus_loader):
+    """utterance_slices returns natural audio + conditioners cut from the
+    same lane offsets, equal-length across utterances."""
+    from msnv_tpu.data.corpus import utterance_slices
+    loader, root = corpus_loader
+    corpus = loader.corpus
+    sl = utterance_slices(corpus, cond_len=16, max_utts=3, max_frames=20)
+    assert sl is not None
+    audio, cond, spk = sl
+    k, n_frames = cond.shape[0], cond.shape[1]
+    assert 1 <= k <= 3 and n_frames <= 20
+    assert audio.shape == (k, n_frames * 16)
+    assert cond.shape[2] == corpus.cond.shape[2]
+    assert spk.shape == (k,)
+    # each slice must appear verbatim in its lane (audio and cond together)
+    for i in range(k):
+        found = False
+        for b in range(corpus.cond.shape[0]):
+            for f0 in range(corpus.cond.shape[1] - n_frames + 1):
+                if np.array_equal(
+                        corpus.cond[b, f0:f0 + n_frames].astype(np.float32),
+                        cond[i]):
+                    seg = corpus.data[b, f0 * 16:(f0 + n_frames) * 16]
+                    assert np.array_equal(seg.astype(np.float32), audio[i])
+                    # the run lies inside ONE utterance
+                    assert len(set(corpus.audio_id[b, f0:f0 + n_frames])) == 1
+                    found = True
+                    break
+            if found:
+                break
+        assert found, f"slice {i} not found in any lane"
+    # distinct utterances
+    assert len({tuple(a[:32]) for a in audio}) == k
+
+
+def test_objective_metrics_plugin(setup):
+    """ObjectiveMetricsPlugin scores generated audio vs ground truth each
+    epoch and surfaces mcd/f0/vuv stats."""
+    from msnv_tpu.data.corpus import utterance_slices
+    from msnv_tpu.training.plugins import ObjectiveMetricsPlugin
+    cfg, trainer, root = setup
+    sl = utterance_slices(trainer.loader.corpus, cond_len=16,
+                          max_utts=2, max_frames=8)
+    assert sl is not None
+    audio, cond, spk = sl
+    trainer.register_plugin(ObjectiveMetricsPlugin(
+        cond, spk, audio, every=1, hop=16))
+    trainer.run(1)
+    for f in ("mcd_db", "f0_rmse_hz", "vuv_error_rate"):
+        assert f in trainer.stats, trainer.stats.keys()
+    assert np.isfinite(trainer.stats["mcd_db"]["last"])
+    assert trainer.stats["mcd_db"]["last"] > 0.0
+    assert 0.0 <= trainer.stats["vuv_error_rate"]["last"] <= 1.0
+
+
 def test_experiment_logger_plugin():
     """ExperimentLoggerPlugin pushes per-epoch stats to any tracker object
     with log_metric (CometPlugin parity, ref trainer/plugins.py:286-303)."""
