@@ -107,6 +107,9 @@ def main():
             "--dataset", "wav/", "--cond_set", "cond/",
             "--results_path", results,
             "--epoch_limit", str(args.epochs),
+            # objective copy-synthesis trajectory (MCD/F0/V-UV) into
+            # stats.json while training
+            "--metrics_every", "1" if args.tiny else "5",
         ])
     finally:
         os.chdir(cwd)
@@ -146,14 +149,24 @@ def main():
         "--out_dir", gen_out,
     ])
 
+    from msnv_tpu.eval.metrics import evaluate_pair, frame_f0
+
     targets = [100.0 + 40.0 * s for s in range(len(names))]
-    peaks = []
+    peaks, f0_medians, pair_scores = [], [], []
     for i, name in enumerate(names):
         (w,) = [f for f in os.listdir(gen_out) if name in f]
         audio, sr = read_wav(os.path.join(gen_out, w))
         n = min(audio.shape[0], int(args.gen_seconds * sr))
         peaks.append(spectral_peak(audio[:n], sr))
+        # objective copy-synthesis scores vs the natural recording
+        ref, _ = read_wav(os.path.join(data_dir, "wav", name + ".wav"))
+        pair_scores.append(evaluate_pair(ref[:n], audio[:n], sr=sr,
+                                         hop=cond_len))
+        f0, voiced = frame_f0(audio[:n], sr=sr, hop=cond_len)
+        f0_medians.append(float(np.median(f0[voiced])) if voiced.any()
+                          else 0.0)
     rho = spearman(np.asarray(peaks), np.asarray(targets))
+    rho_f0 = spearman(np.asarray(f0_medians), np.asarray(targets))
 
     val = [v for v in stats.get("validation_loss", []) if v is not None]
     report = {
@@ -168,6 +181,17 @@ def main():
         "speaker_f0_targets_hz": targets,
         "generated_spectral_peaks_hz": [round(x, 1) for x in peaks],
         "spearman_peak_vs_speaker": rho,
+        "generated_yin_f0_median_hz": [round(x, 1) for x in f0_medians],
+        "spearman_yin_f0_vs_speaker": rho_f0,
+        "copy_synthesis_metrics": {
+            k: round(float(np.mean([s[k] for s in pair_scores
+                                    if np.isfinite(s[k])])), 3)
+            for k in ("mcd_db", "f0_rmse_hz", "vuv_error_rate")
+            if any(np.isfinite(s[k]) for s in pair_scores)},
+        "objective_metrics_trajectory": {
+            k: [round(v, 3) for v in stats[k] if v is not None]
+            for k in ("mcd_db", "f0_rmse_hz", "vuv_error_rate")
+            if k in stats},
     }
     with open(os.path.join(out, "flagship_report.json"), "w") as f:
         json.dump(report, f, indent=1)
