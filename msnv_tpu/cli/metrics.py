@@ -101,18 +101,26 @@ def main(argv=None):
             continue
         row = {"utt": utt, "gen": gpath, "ref": rpath}
         row.update(evaluate_pair(
-            np.asarray(ref), np.asarray(gen), sr=sr_g, hop=args.hop))
+            np.asarray(ref), np.asarray(gen), sr=sr_g, hop=args.hop,
+            n_mfcc=args.n_mfcc))
         if args.lf0:
             lpath = _find(args.lf0, utt + ".lf0")
             if lpath is not None:
-                f0_true, v_true = lf0_track_to_f0(np.loadtxt(lpath))
+                # atleast_1d: a one-frame .lf0 loads as a 0-d array (same
+                # guard as data/corpus.load_cond_tracks)
+                f0_true, v_true = lf0_track_to_f0(
+                    np.atleast_1d(np.loadtxt(lpath)))
                 f0_gen, v_gen = frame_f0(np.asarray(gen), sr=sr_g,
                                          hop=args.hop)
                 ahof0 = f0_metrics(f0_true, v_true, f0_gen, v_gen)
                 row["ahocoder_f0_rmse_hz"] = ahof0["f0_rmse_hz"]
                 row["ahocoder_vuv_error_rate"] = ahof0["vuv_error_rate"]
         rows.append(row)
-        print(json.dumps(row))
+        # strict JSON: json.dumps would emit a bare NaN literal (e.g.
+        # f0_rmse_hz with no both-voiced frames) — map non-finite to null
+        print(json.dumps({
+            k: (None if isinstance(v, float) and not np.isfinite(v) else v)
+            for k, v in row.items()}))
 
     if not rows:
         print("no scorable pairs", file=sys.stderr)

@@ -245,6 +245,10 @@ def main(argv=None):
         else:
             from msnv_tpu.data.corpus import utterance_slices
             from msnv_tpu.training.plugins import ObjectiveMetricsPlugin
+            if val_corpus is None:
+                print("no validation partition: scoring objective metrics "
+                      "on TRAIN utterances (in-sample; expect optimistic "
+                      "values)")
             sl = utterance_slices(val_corpus if val_corpus is not None
                                   else corpus, args.cond_len)
             if sl is None:

@@ -166,10 +166,19 @@ def f0_metrics(f0_ref: np.ndarray, voiced_ref: np.ndarray,
 
 
 def evaluate_pair(ref_audio: np.ndarray, gen_audio: np.ndarray,
-                  sr: int = 16000, hop: int = 80, **f0_kwargs) -> dict:
-    """All metrics for one (reference, generated) waveform pair."""
-    out = mcd(ref_audio, gen_audio, sr=sr, hop=hop)
+                  sr: int = 16000, hop: int = 80, n_mfcc: int = 25,
+                  **f0_kwargs) -> dict:
+    """All metrics for one (reference, generated) waveform pair.
+
+    Frame counts are reported per metric family (`n_frames_mcd` vs
+    `n_frames_f0`) — the cepstral and pitch tracks can frame different
+    common lengths.
+    """
+    out = mcd(ref_audio, gen_audio, sr=sr, hop=hop, n_mfcc=n_mfcc)
+    out["n_frames_mcd"] = out.pop("n_frames")
     fr, vr = frame_f0(ref_audio, sr=sr, hop=hop, **f0_kwargs)
     fg, vg = frame_f0(gen_audio, sr=sr, hop=hop, **f0_kwargs)
-    out.update(f0_metrics(fr, vr, fg, vg))
+    fo = f0_metrics(fr, vr, fg, vg)
+    fo["n_frames_f0"] = fo.pop("n_frames")
+    out.update(fo)
     return out

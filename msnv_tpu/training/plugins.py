@@ -239,13 +239,17 @@ class ObjectiveMetricsPlugin(Plugin):
             trainer.stats.setdefault(f, {"log_format": ":.3f"})
 
     def epoch(self, epoch_index: int):
+        t = self.trainer
         if epoch_index % self.every:
+            # clear 'last' on unscored epochs so Logger/StatsPlugin record
+            # None, not a stale score replayed as if freshly measured
+            for f in ("mcd_db", "f0_rmse_hz", "vuv_error_rate"):
+                t.stats[f]["last"] = None
             return
         import jax
         import jax.numpy as jnp
         from msnv_tpu.eval.metrics import evaluate_pair
         from msnv_tpu.models.generate import generate_fn_dynamic
-        t = self.trainer
         if self._gen is None:   # one compile for the whole run
             self._gen = generate_fn_dynamic(
                 t.cfg.model, compute_dtype=self.compute_dtype)

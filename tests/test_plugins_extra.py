@@ -123,8 +123,11 @@ def test_objective_metrics_plugin(setup):
     assert sl is not None
     audio, cond, spk = sl
     trainer.register_plugin(ObjectiveMetricsPlugin(
-        cond, spk, audio, every=1, hop=16))
+        cond, spk, audio, every=2, hop=16))
     trainer.run(1)
+    # epoch 1 is unscored (every=2): stats must be None, not stale/absent
+    assert trainer.stats["mcd_db"]["last"] is None
+    trainer.run(2)
     for f in ("mcd_db", "f0_rmse_hz", "vuv_error_rate"):
         assert f in trainer.stats, trainer.stats.keys()
     assert np.isfinite(trainer.stats["mcd_db"]["last"])
