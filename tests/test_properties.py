@@ -139,3 +139,34 @@ def test_chunkloader_windowing_invariants(data):
             prev = loader.get_chunk(k - 1)
             np.testing.assert_array_equal(prev.data[:, -(ov - 1):],
                                           ch.data[:, :ov - 1])
+
+
+# ---------------------------------------------------------------- metrics
+
+@settings(max_examples=25, deadline=None)
+@given(st.floats(min_value=60.0, max_value=450.0),
+       st.floats(min_value=0.05, max_value=0.9))
+def test_frame_f0_tracks_any_tone(f0_true, amp):
+    """YIN tracker locks onto an arbitrary-frequency, arbitrary-amplitude
+    sinusoid within 3 Hz (amplitude-invariant: CMNDF normalizes energy)."""
+    from msnv_tpu.eval.metrics import frame_f0
+    sr = 16000
+    t = np.arange(int(0.25 * sr)) / sr
+    x = amp * np.sin(2 * np.pi * f0_true * t)
+    f0, voiced = frame_f0(x, sr=sr)
+    assert voiced.mean() > 0.8
+    assert abs(np.median(f0[voiced]) - f0_true) < 3.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_mcd_symmetric_nonnegative(seed):
+    """MCD is a metric on cepstra: symmetric, nonnegative, zero iff equal
+    frames (identical signals)."""
+    from msnv_tpu.eval.metrics import mcd
+    rng = np.random.RandomState(seed)
+    a = 0.3 * rng.randn(4000)
+    b = a + 0.05 * rng.randn(4000)
+    ab, ba = mcd(a, b)["mcd_db"], mcd(b, a)["mcd_db"]
+    assert ab >= 0.0 and abs(ab - ba) < 1e-9
+    assert mcd(a, a)["mcd_db"] == 0.0
