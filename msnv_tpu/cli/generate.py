@@ -87,6 +87,10 @@ def main(argv=None):
                    choices=["auto", "xla", "pallas"],
                    help="auto = fused Pallas kernel (bf16) on TPU, XLA f32 "
                         "scan elsewhere; xla is bit-reproducible per key")
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="sampling temperature: 1.0 = reference multinomial"
+                        " semantics, <1 sharpens (mitigates saturation "
+                        "bursts), 0 = greedy argmax (xla engine only)")
     args = p.parse_args(argv)
 
     # re-hydrate config from the tag in the checkpoint path
@@ -164,12 +168,17 @@ def main(argv=None):
     if engine == "auto":
         engine = ("pallas" if jax.devices()[0].platform == "tpu"
                   else "xla")
+    if args.temperature == 0.0 and engine == "pallas":
+        print("greedy (temperature 0) runs on the XLA engine")
+        engine = "xla"
     if engine == "pallas":
         gen = generate_fn(params, m, compute_dtype=jnp.bfloat16,
                           use_pallas=True,
-                          pallas_opts={"v3": True, "tile_b": 128})
+                          pallas_opts={"v3": True, "tile_b": 128},
+                          temperature=args.temperature)
     else:
-        gen = generate_fn(params, m, unroll=m.frame_sizes[0])
+        gen = generate_fn(params, m, unroll=m.frame_sizes[0],
+                          temperature=args.temperature)
     print(f"generation engine: {engine}")
     if any(isinstance(s_, np.ndarray) for s_ in spks):
         # at least one mixed voice: promote every entry to a weight vector

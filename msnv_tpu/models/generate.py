@@ -80,30 +80,51 @@ def _mlp_logits(params, fused_table, buf, slot):
     return logits + out["b"].astype(jnp.float32)
 
 
-def _mlp_sample(params, fused_table, buf, slot, key):
-    """One sample: fused-gather MLP + categorical draw -> (B,) int32."""
-    log_probs = jax.nn.log_softmax(
-        _mlp_logits(params, fused_table, buf, slot), axis=-1)
+def _mlp_sample(params, fused_table, buf, slot, key, temperature=1.0):
+    """One sample: fused-gather MLP + categorical draw -> (B,) int32.
+
+    `temperature` is a static python float: 1.0 keeps the reference's
+    multinomial-from-softmax semantics (ref model.py:514-517); 0.0 is
+    greedy argmax; other values scale the logits (the standard mitigation
+    for the thesis's generation-saturation bursts, ref doc §4.3).
+    """
+    logits = _mlp_logits(params, fused_table, buf, slot)
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if temperature != 1.0:
+        logits = logits / temperature
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
     return jax.random.categorical(key, log_probs, axis=-1).astype(jnp.int32)
 
 
 def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
-                           pallas_opts):
+                           pallas_opts, temperature=1.0):
     """(carry, slots (B, fs0, dim)) -> (carry, samples (B, fs0)) via the
-    fused Pallas kernel (msnv_tpu/pallas/sample_kernel.py)."""
+    fused Pallas kernel (msnv_tpu/pallas/sample_kernel.py).
+
+    Temperature needs NO kernel change: the kernel draws
+    argmax(logits + gumbel), and argmax(logits/T + g) is achieved exactly
+    by feeding it w_out/T and b_out/T (the logits are affine in them).
+    Greedy (T == 0) is XLA-path only — the kernel PRNG cannot be disabled.
+    """
     from msnv_tpu.ops.linear import dense_weight
     from msnv_tpu.pallas.sample_kernel import (gumbel_noise,
                                                make_sample_window,
                                                make_sample_window_v2,
                                                make_sample_window_v3)
 
+    if temperature <= 0.0:
+        raise ValueError("the pallas sampler needs temperature > 0 "
+                         "(greedy decoding runs on the XLA path)")
     fs0 = cfg.frame_sizes[0]
     q = cfg.q_levels
+    inv_t = 1.0 / temperature
     table = fused_table.reshape(fs0 * q, cfg.dim)
     wh = dense_weight(params["mlp"]["hidden"]).T
     bh = params["mlp"]["hidden"]["b"].astype(jnp.float32)[None, :]
-    wo = dense_weight(params["mlp"]["out"]).T.astype(table.dtype)
-    bo = params["mlp"]["out"]["b"].astype(jnp.float32)[None, :]
+    wo = (dense_weight(params["mlp"]["out"]).T
+          * inv_t).astype(table.dtype)
+    bo = (params["mlp"]["out"]["b"].astype(jnp.float32) * inv_t)[None, :]
 
     interp = pallas_opts.get("interpret", False)
     tile_b = pallas_opts.get("tile_b", 64)
@@ -198,7 +219,7 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
 
 
 def _make_level(params, cfg: ModelConfig, t: int, fused_table,
-                pallas_opts=None, unroll=1):
+                pallas_opts=None, unroll=1, temperature=1.0):
     """Scan-step fn for tier t: (carry, upper_slot) -> (carry, (B, nfs[t])).
 
     carry = (buf (B, lookback) int32, hs tuple of (n_rnn, B, dim), key).
@@ -212,17 +233,17 @@ def _make_level(params, cfg: ModelConfig, t: int, fused_table,
     if t == 0:
         if pallas_opts is not None:
             window_sampler = _pallas_window_sampler(params, cfg, fused_table,
-                                                    pallas_opts)
+                                                    pallas_opts, temperature)
 
         def sample_step(carry, slot):
             buf, hs, key = carry
             key, sub = jax.random.split(key)
-            s = _mlp_sample(params, fused_table, buf, slot, sub)
+            s = _mlp_sample(params, fused_table, buf, slot, sub, temperature)
             buf = jnp.concatenate([buf[:, 1:], s[:, None]], axis=1)
             return (buf, hs, key), s
     else:
         sample_step = _make_level(params, cfg, t - 1, fused_table,
-                                  pallas_opts, unroll)
+                                  pallas_opts, unroll, temperature)
 
     wdtype = tier["input_expand"]["w"].dtype
 
@@ -294,7 +315,8 @@ def _make_level_forced(params, cfg: ModelConfig, t: int, fused_table):
 
 
 def streaming_fn(params, cfg: ModelConfig, compute_dtype=None,
-                 use_pallas=False, pallas_opts=None, frames_per_push=1):
+                 use_pallas=False, pallas_opts=None, frames_per_push=1,
+                 temperature=1.0):
     """Streaming generation: push conditioner frames, pull samples, O(1)
     carried state — unbounded audio with constant memory.
 
@@ -323,7 +345,8 @@ def streaming_fn(params, cfg: ModelConfig, compute_dtype=None,
     tier = params["tiers"][top]
     nfs_top = cfg.ns_frame_samples[top]
     fused = fused_embed_conv(params["mlp"])
-    below = (_make_level(params, cfg, top - 1, fused, pallas_opts)
+    below = (_make_level(params, cfg, top - 1, fused, pallas_opts,
+                         temperature=temperature)
              if top > 0 else None)
     wdtype = tier["input_expand"]["w"].dtype
 
@@ -344,7 +367,7 @@ def streaming_fn(params, cfg: ModelConfig, compute_dtype=None,
             def step(carry2, slot):
                 buf2, hs2, key2 = carry2
                 key2, sub = jax.random.split(key2)
-                s = _mlp_sample(params, fused, buf2, slot, sub)
+                s = _mlp_sample(params, fused, buf2, slot, sub, temperature)
                 buf2 = jnp.concatenate([buf2[:, 1:], s[:, None]], axis=1)
                 return (buf2, hs2, key2), s
             (buf, hs, key), ys = jax.lax.scan(
@@ -389,7 +412,8 @@ def streaming_fn(params, cfg: ModelConfig, compute_dtype=None,
 
 
 def generate_fn_dynamic(cfg: ModelConfig, compute_dtype=None,
-                        use_pallas=False, pallas_opts=None, unroll=1):
+                        use_pallas=False, pallas_opts=None, unroll=1,
+                        temperature=1.0):
     """generate_fn with params as a CALL argument: one XLA compile serves
     changing weights. generate_fn bakes params into the jitted closure as
     constants — fine for fixed weights, but a per-epoch sampling plugin
@@ -400,7 +424,7 @@ def generate_fn_dynamic(cfg: ModelConfig, compute_dtype=None,
         # so nothing is constant-folded and the compile is reused across
         # param values (cache keys on shapes/dtypes only)
         return generate_fn(params, cfg, compute_dtype, use_pallas,
-                           pallas_opts, unroll)(cond, spk, key)
+                           pallas_opts, unroll, temperature)(cond, spk, key)
     return generate
 
 
@@ -469,7 +493,8 @@ def teacher_forced_log_probs(params, cfg: ModelConfig):
 
 
 def generate_fn(params, cfg: ModelConfig, compute_dtype=None,
-                use_pallas=False, pallas_opts=None, unroll=1):
+                use_pallas=False, pallas_opts=None, unroll=1,
+                temperature=1.0):
     """Build a jitted generate(cond, spk, key) -> (audio, sequences).
 
     cond: (B, num_frames, effective_cond_dim) normalized conditioners.
@@ -481,6 +506,9 @@ def generate_fn(params, cfg: ModelConfig, compute_dtype=None,
       kernel (TPU; pallas_opts={"interpret": True} runs it on CPU for
       tests). Requires n_tiers >= 2. Sampling uses the kernel PRNG (same
       distribution, different stream than the XLA path).
+    temperature: static logits scale. 1.0 = reference multinomial
+      semantics; 0.0 = greedy argmax (XLA path only); <1.0 sharpens (the
+      standard mitigation for the thesis's saturation bursts, doc §4.3).
     Returns (float32 audio (B, num_frames*lookback), int32 sample levels).
     """
     if compute_dtype is not None:
@@ -494,7 +522,8 @@ def generate_fn(params, cfg: ModelConfig, compute_dtype=None,
     tier = params["tiers"][top]
     nfs_top = cfg.ns_frame_samples[top]
     fused = fused_embed_conv(params["mlp"])
-    below = (_make_level(params, cfg, top - 1, fused, pallas_opts, unroll)
+    below = (_make_level(params, cfg, top - 1, fused, pallas_opts, unroll,
+                         temperature)
              if top > 0 else None)
     wdtype = tier["input_expand"]["w"].dtype
 
@@ -514,7 +543,7 @@ def generate_fn(params, cfg: ModelConfig, compute_dtype=None,
             def step(carry2, slot):
                 buf2, hs2, key2 = carry2
                 key2, sub = jax.random.split(key2)
-                s = _mlp_sample(params, fused, buf2, slot, sub)
+                s = _mlp_sample(params, fused, buf2, slot, sub, temperature)
                 buf2 = jnp.concatenate([buf2[:, 1:], s[:, None]], axis=1)
                 return (buf2, hs2, key2), s
         (buf, hs, key), ys = jax.lax.scan(

@@ -36,7 +36,8 @@ from msnv_tpu.models.generate import generate_fn
 
 
 def sharded_generate_fn(params, cfg: ModelConfig, mesh, compute_dtype=None,
-                        use_pallas=False, pallas_opts=None):
+                        use_pallas=False, pallas_opts=None,
+                        temperature=1.0):
     """Build generate(cond, spk, key) sharded over mesh axis 'data'.
 
     cond (B, frames, C) and spk (B,) are sharded on B (B must divide by the
@@ -45,7 +46,8 @@ def sharded_generate_fn(params, cfg: ModelConfig, mesh, compute_dtype=None,
     sharded the same way.
     """
     inner = generate_fn(params, cfg, compute_dtype=compute_dtype,
-                        use_pallas=use_pallas, pallas_opts=pallas_opts)
+                        use_pallas=use_pallas, pallas_opts=pallas_opts,
+                        temperature=temperature)
 
     def shard_body(cond, spk, key):
         idx = jax.lax.axis_index("data")

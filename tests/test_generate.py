@@ -131,3 +131,112 @@ def test_unrolled_scan_matches_rolled():
     _, s1 = g1(cond, spk, jax.random.PRNGKey(9))
     _, s4 = g4(cond, spk, jax.random.PRNGKey(9))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s4))
+
+
+def test_temperature_one_is_default_path():
+    """temperature=1.0 must be bit-identical to the default (reference
+    multinomial semantics unchanged)."""
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=5,
+                      spk_dim=2)
+    params, cond, spk = setup(cfg, batch=2, frames=3)
+    _, s_def = generate_fn(params, cfg)(cond, spk, jax.random.PRNGKey(3))
+    _, s_t1 = generate_fn(params, cfg, temperature=1.0)(
+        cond, spk, jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(s_def), np.asarray(s_t1))
+
+
+def test_temperature_zero_is_greedy_and_key_independent():
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=5,
+                      spk_dim=2)
+    params, cond, spk = setup(cfg, batch=2, frames=3)
+    g = generate_fn(params, cfg, temperature=0.0)
+    _, s_a = g(cond, spk, jax.random.PRNGKey(0))
+    _, s_b = g(cond, spk, jax.random.PRNGKey(999))
+    np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_b))
+
+
+def test_temperature_limits_to_greedy():
+    """T -> 0+ converges to the argmax path (logit gaps dwarf the gumbel
+    noise)."""
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=5,
+                      spk_dim=2)
+    params, cond, spk = setup(cfg, batch=2, frames=3)
+    _, s_greedy = generate_fn(params, cfg, temperature=0.0)(
+        cond, spk, jax.random.PRNGKey(0))
+    _, s_cold = generate_fn(params, cfg, temperature=1e-4)(
+        cond, spk, jax.random.PRNGKey(0))
+    agree = (np.asarray(s_greedy) == np.asarray(s_cold)).mean()
+    assert agree > 0.99, agree
+
+
+def test_temperature_changes_distribution():
+    """A hot temperature must actually change the sampled paths."""
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=5,
+                      spk_dim=2)
+    params, cond, spk = setup(cfg, batch=2, frames=3)
+    _, s1 = generate_fn(params, cfg)(cond, spk, jax.random.PRNGKey(5))
+    _, s9 = generate_fn(params, cfg, temperature=4.0)(
+        cond, spk, jax.random.PRNGKey(5))
+    assert not np.array_equal(np.asarray(s1), np.asarray(s9))
+
+
+def test_temperature_pallas_interpret_argmax_invariant():
+    """argmax(logits/T) == argmax(logits): with zero gumbel noise the v1
+    interpret kernel must emit identical samples for any T > 0 (the
+    temperature enters the kernel as pre-scaled w_out/b_out)."""
+    from msnv_tpu.models.generate import _pallas_window_sampler
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=5,
+                      spk_dim=2, q_levels=16)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    fused = fused_embed_conv(params["mlp"])
+    outs = {}
+    # patch BEFORE building: the sampler binds gumbel_noise at build time
+    import msnv_tpu.pallas.sample_kernel as sk
+    orig = sk.gumbel_noise
+    sk.gumbel_noise = lambda key, shape: jnp.zeros(shape)  # argmax mode
+    try:
+        for T in (1.0, 0.37):
+            run = _pallas_window_sampler(params, cfg, fused,
+                                         {"interpret": True, "tile_b": 8},
+                                         temperature=T)
+            buf = jnp.full((8, cfg.lookback), q_zero(cfg.q_levels),
+                           jnp.int32)
+            hs = tuple(jnp.zeros((cfg.n_rnn, 8, cfg.dim))
+                       for _ in cfg.frame_sizes)
+            slots = 0.1 * jax.random.normal(
+                jax.random.PRNGKey(1), (8, cfg.frame_sizes[0], cfg.dim))
+            _, samples = run((buf, hs, jax.random.PRNGKey(2)), slots)
+            outs[T] = np.asarray(samples)
+    finally:
+        sk.gumbel_noise = orig
+    np.testing.assert_array_equal(outs[1.0], outs[0.37])
+
+
+def test_temperature_pallas_rejects_zero():
+    from msnv_tpu.models.generate import _pallas_window_sampler
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=5,
+                      spk_dim=2, q_levels=16)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    fused = fused_embed_conv(params["mlp"])
+    with pytest.raises(ValueError):
+        _pallas_window_sampler(params, cfg, fused, {"interpret": True},
+                               temperature=0.0)
+
+
+def test_temperature_streaming_matches_batch():
+    """Streaming with a temperature reproduces batch generation with the
+    same temperature and key (the exactness contract holds at any T)."""
+    from msnv_tpu.models.generate import streaming_fn
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=5,
+                      spk_dim=2)
+    params, cond, spk = setup(cfg, batch=2, frames=3)
+    key = jax.random.PRNGKey(11)
+    _, s_batch = generate_fn(params, cfg, temperature=0.5)(cond, spk, key)
+    init_state, push = streaming_fn(params, cfg, temperature=0.5)
+    carry = init_state(2, spk, key)
+    outs = []
+    for j in range(cond.shape[1]):
+        carry, _, s = push(carry, cond[:, j])
+        outs.append(np.asarray(s))
+    np.testing.assert_array_equal(np.concatenate(outs, axis=1),
+                                  np.asarray(s_batch))
