@@ -138,3 +138,24 @@ def test_small_batch_generation_on_chip(tpu):
             audio, seq = g(cond, spk, jax.random.PRNGKey(1))
             assert seq.shape == (batch, 2 * cfg.lookback)
             assert int(seq.min()) >= 0 and int(seq.max()) < cfg.q_levels
+
+
+def test_perf_floors_on_chip(tpu):
+    """Loose perf-regression floors on the official bench (≥2x slack vs
+    the recorded numbers in docs/VALIDATION.md: ~545 audio-s/s/chip
+    generation, ~3.4M train samples/s). Catches silent order-of-magnitude
+    regressions, not noise."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
+                         capture_output=True, text=True, timeout=1800,
+                         cwd=repo)
+    assert out.returncode == 0, out.stdout + out.stderr
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    assert r["value"] > 250.0, r            # audio-s/s/chip (recorded ~545)
+    ex = r["extras"]
+    assert ex["train_samples_per_s"] > 1.5e6, ex  # recorded ~3.4M
