@@ -80,6 +80,16 @@ def _mlp_logits(params, fused_table, buf, slot):
     return logits + out["b"].astype(jnp.float32)
 
 
+def _check_temperature(temperature):
+    """Static sanity: a negative/NaN temperature would silently sample the
+    LEAST likely levels (logits flip sign); fail loudly instead."""
+    import math
+    if not (isinstance(temperature, (int, float))
+            and math.isfinite(temperature) and temperature >= 0.0):
+        raise ValueError(
+            f"temperature must be a finite float >= 0, got {temperature!r}")
+
+
 def _mlp_sample(params, fused_table, buf, slot, key, temperature=1.0):
     """One sample: fused-gather MLP + categorical draw -> (B,) int32.
 
@@ -334,6 +344,7 @@ def streaming_fn(params, cfg: ModelConfig, compute_dtype=None,
     one jitted call. frames_per_push > 1 amortizes per-dispatch overhead
     when the latency SLO allows K*5 ms chunks.
     """
+    _check_temperature(temperature)
     if compute_dtype is not None:
         params = cast_float_tree(params, compute_dtype)
     if use_pallas:
@@ -511,6 +522,7 @@ def generate_fn(params, cfg: ModelConfig, compute_dtype=None,
       standard mitigation for the thesis's saturation bursts, doc §4.3).
     Returns (float32 audio (B, num_frames*lookback), int32 sample levels).
     """
+    _check_temperature(temperature)
     if compute_dtype is not None:
         params = cast_float_tree(params, compute_dtype)
     if use_pallas:

@@ -240,3 +240,12 @@ def test_temperature_streaming_matches_batch():
         outs.append(np.asarray(s))
     np.testing.assert_array_equal(np.concatenate(outs, axis=1),
                                   np.asarray(s_batch))
+
+
+def test_temperature_rejects_negative_and_nan():
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=5,
+                      spk_dim=2)
+    params, cond, spk = setup(cfg, batch=1, frames=2)
+    for bad in (-0.5, float("nan"), float("inf")):
+        with pytest.raises(ValueError):
+            generate_fn(params, cfg, temperature=bad)

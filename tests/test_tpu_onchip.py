@@ -144,17 +144,25 @@ def test_perf_floors_on_chip(tpu):
     """Loose perf-regression floors on the official bench (≥2x slack vs
     the recorded numbers in docs/VALIDATION.md: ~545 audio-s/s/chip
     generation, ~3.4M train samples/s). Catches silent order-of-magnitude
-    regressions, not noise."""
+    regressions, not noise. Runs bench.main() IN-PROCESS: a subprocess
+    could not acquire the chip on single-client TPU runtimes while this
+    pytest process holds it."""
+    import contextlib
+    import importlib.util
+    import io
     import json
-    import subprocess
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = subprocess.run([sys.executable, os.path.join(repo, "bench.py")],
-                         capture_output=True, text=True, timeout=1800,
-                         cwd=repo)
-    assert out.returncode == 0, out.stdout + out.stderr
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    sys.path.insert(0, repo)
+    spec = importlib.util.spec_from_file_location(
+        "msnv_bench", os.path.join(repo, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.main()
+    line = [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
     r = json.loads(line)
     assert r["value"] > 250.0, r            # audio-s/s/chip (recorded ~545)
     ex = r["extras"]
