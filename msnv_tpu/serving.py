@@ -1,0 +1,244 @@
+"""HTTP serving front-end for the vocoder (stdlib-only, no web framework).
+
+The reference has no serving story — synthesis is the offline generate.py
+writing WAV files (ref generate.py:98-112). This exposes a loaded
+checkpoint behind a small threaded HTTP server:
+
+  GET  /healthz     -> JSON {status, model, spk_dim, cond_dim, ...}
+  POST /synthesize  -> complete WAV (audio/wav)
+       JSON body: {"cond": [[...frame vectors (effective_cond_dim)...]],
+                   "spk": int | [mix weights], "temperature": 1.0,
+                   "seed": 0}
+  POST /stream      -> chunked PCM16 (audio/L16;rate=16000): same body;
+       audio bytes are flushed per conditioner-frame group as they are
+       generated (models/generate.streaming_fn, O(1) server-side state) —
+       first audio after ONE frame of conditioners, unbounded length.
+
+Design notes (TPU serving):
+- /synthesize jit-compiles per conditioner-frame-count bucket; requests
+  are padded up to the next multiple of `frame_bucket` frames (the last
+  frame repeats — look-ahead-safe) and the audio is trimmed, so the
+  number of distinct XLA programs stays bounded.
+- /stream shares ONE compiled push function (batch 1); per-connection
+  state is the O(dim) streaming carry.
+- The device serializes concurrent requests; this front-end targets
+  latency-oriented single-stream serving. For throughput-oriented
+  many-stream serving batch the lanes (scripts/serve_demo.py measures
+  ~500 concurrent real-time streams per chip at batch 384-512).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from msnv_tpu.config import ModelConfig
+from msnv_tpu.data.wavio import pcm16_bytes, wav_bytes
+
+SAMPLE_RATE = 16000
+
+
+class VocoderService:
+    """Holds the model + compiled generation callables for the server."""
+
+    def __init__(self, params, cfg: ModelConfig, temperature_default=1.0,
+                 frame_bucket: int = 16, frames_per_push: int = 1,
+                 name: str = "msnv"):
+        self.params = params
+        self.cfg = cfg
+        self.temperature_default = float(temperature_default)
+        self.frame_bucket = int(frame_bucket)
+        self.frames_per_push = int(frames_per_push)
+        self.name = name
+        self._gen_cache = {}       # (n_frames_padded, T) -> generate fn
+        self._stream_cache = {}    # T -> (init_state, push)
+        self._lock = threading.Lock()  # one device user at a time
+
+    # -- request plumbing ------------------------------------------------
+
+    def _parse(self, body: dict):
+        import jax.numpy as jnp
+        cond = np.asarray(body["cond"], np.float32)
+        if cond.ndim != 2 or cond.shape[1] != self.cfg.effective_cond_dim:
+            raise ValueError(
+                f"cond must be (frames, {self.cfg.effective_cond_dim}), "
+                f"got {cond.shape}")
+        spk = body.get("spk", 0)
+        if isinstance(spk, (list, tuple)):
+            spk_arr = np.asarray([spk], np.float32)   # embedding mix
+            if spk_arr.shape[1] != self.cfg.spk_dim:
+                raise ValueError(f"spk mix needs {self.cfg.spk_dim} weights")
+        else:
+            if not 0 <= int(spk) < self.cfg.spk_dim:
+                raise ValueError(f"spk id out of range [0, {self.cfg.spk_dim})")
+            spk_arr = np.asarray([int(spk)], np.int32)
+        temperature = float(body.get("temperature",
+                                     self.temperature_default))
+        seed = int(body.get("seed", 0))
+        return jnp.asarray(cond), jnp.asarray(spk_arr), temperature, seed
+
+    def healthz(self) -> dict:
+        return {"status": "ok", "model": self.name,
+                "spk_dim": self.cfg.spk_dim,
+                "cond_dim": self.cfg.effective_cond_dim,
+                "samples_per_frame": self.cfg.lookback,
+                "sample_rate": SAMPLE_RATE}
+
+    # -- batch synthesis ---------------------------------------------------
+
+    def synthesize(self, body: dict) -> bytes:
+        """Full-utterance synthesis -> WAV bytes."""
+        import jax
+        from msnv_tpu.models.generate import generate_fn
+        cond, spk, temperature, seed = self._parse(body)
+        n = cond.shape[0]
+        # pad frames up to a bucket multiple (repeat the last frame) so the
+        # compile count is bounded by the number of buckets, not lengths
+        padded = -(-n // self.frame_bucket) * self.frame_bucket
+        if padded != n:
+            import jax.numpy as jnp
+            cond = jnp.concatenate(
+                [cond, jnp.repeat(cond[-1:], padded - n, axis=0)], axis=0)
+        # one callable per temperature; jax.jit inside it retraces per
+        # (padded-frames, spk-dtype) signature — the bucket padding above
+        # is what keeps that retrace count bounded
+        with self._lock:
+            if temperature not in self._gen_cache:
+                self._gen_cache[temperature] = generate_fn(
+                    self.params, self.cfg, temperature=temperature)
+            audio, _ = self._gen_cache[temperature](
+                cond[None], spk, jax.random.PRNGKey(seed))
+        audio = np.asarray(audio)[0, :n * self.cfg.lookback]
+        return wav_bytes(audio, SAMPLE_RATE)
+
+    # -- streaming synthesis ----------------------------------------------
+
+    def stream(self, body: dict):
+        """Yield PCM16 chunks as frame groups are generated.
+
+        Trailing frames beyond a multiple of `frames_per_push` are not
+        synthesized (pad client-side, or use frames_per_push=1)."""
+        import jax
+        from msnv_tpu.models.generate import streaming_fn
+        cond, spk, temperature, seed = self._parse(body)
+        K = self.frames_per_push
+        with self._lock:
+            if temperature not in self._stream_cache:
+                self._stream_cache[temperature] = streaming_fn(
+                    self.params, self.cfg, frames_per_push=K,
+                    temperature=temperature)
+        init_state, push = self._stream_cache[temperature]
+        carry = init_state(1, spk, jax.random.PRNGKey(seed))
+        n = cond.shape[0]
+        for start in range(0, n - n % K, K):
+            block = cond[start:start + K]
+            with self._lock:
+                carry, audio, _ = push(
+                    carry, block[None] if K > 1 else block[None, 0])
+            yield pcm16_bytes(np.asarray(audio)[0])
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: VocoderService  # set by make_server
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _json(self, code: int, obj: dict):
+        data = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._json(200, self.service.healthz())
+        else:
+            self._json(404, {"error": f"unknown path {self.path}"})
+
+    def _body(self):
+        length = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(length) or b"{}")
+
+    def do_POST(self):
+        try:
+            body = self._body()
+        except (ValueError, json.JSONDecodeError) as e:
+            return self._json(400, {"error": f"bad JSON: {e}"})
+        try:
+            if self.path == "/synthesize":
+                wav = self.service.synthesize(body)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(wav)))
+                self.end_headers()
+                self.wfile.write(wav)
+            elif self.path == "/stream":
+                chunks = self.service.stream(body)
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 f"audio/L16;rate={SAMPLE_RATE}")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                for chunk in chunks:
+                    self.wfile.write(f"{len(chunk):X}\r\n".encode())
+                    self.wfile.write(chunk + b"\r\n")
+                    self.wfile.flush()
+                self.wfile.write(b"0\r\n\r\n")
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+        except (KeyError, ValueError, TypeError) as e:
+            self._json(400, {"error": str(e)})
+
+
+def make_server(service: VocoderService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; .server_address has the bound
+    port when port=0. Call .serve_forever() (e.g. in a thread)."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None):
+    """CLI: serve a checkpoint.
+
+    python -m msnv_tpu.serving --model results/<tag>/checkpoints/ep...npz \
+        [--host 0.0.0.0] [--port 8000] [--temperature 1.0]
+    """
+    import argparse
+    import jax
+    from msnv_tpu.config import parse_tag
+    from msnv_tpu.models.samplernn import init_params
+    from msnv_tpu.training.checkpoint import load_any
+    import os
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--frames_per_push", type=int, default=1)
+    args = p.parse_args(argv)
+
+    tag = os.path.basename(os.path.dirname(os.path.dirname(
+        os.path.abspath(args.model))))
+    cfg = parse_tag(tag)
+    params = init_params(jax.random.PRNGKey(0), cfg.model)
+    state, _ = load_any(args.model, {"params": params})
+    service = VocoderService(state["params"], cfg.model,
+                             temperature_default=args.temperature,
+                             frames_per_push=args.frames_per_push,
+                             name=tag)
+    server = make_server(service, args.host, args.port)
+    print(f"serving {tag} on http://{args.host}:"
+          f"{server.server_address[1]}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""HTTP serving front-end (msnv_tpu/serving.py): healthz, full-WAV
+synthesis, chunked streaming, error paths — over a real socket."""
+
+import http.client
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from msnv_tpu.config import ModelConfig
+from msnv_tpu.models.samplernn import init_params
+from msnv_tpu.serving import VocoderService, make_server
+
+CFG = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=24, cond_dim=5,
+                  spk_dim=3)
+
+
+@pytest.fixture(scope="module")
+def server():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    service = VocoderService(params, CFG, frame_bucket=4, name="test")
+    srv = make_server(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def _conn(addr):
+    return http.client.HTTPConnection(*addr, timeout=300)
+
+
+def _post(addr, path, body):
+    c = _conn(addr)
+    c.request("POST", path, json.dumps(body),
+              {"Content-Type": "application/json"})
+    return c.getresponse()
+
+
+def _cond(frames, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.rand(frames, CFG.effective_cond_dim).tolist()
+
+
+def test_healthz(server):
+    c = _conn(server)
+    c.request("GET", "/healthz")
+    r = c.getresponse()
+    assert r.status == 200
+    h = json.loads(r.read())
+    assert h["status"] == "ok"
+    assert h["spk_dim"] == 3
+    assert h["samples_per_frame"] == CFG.lookback
+
+
+def test_synthesize_returns_wav(server):
+    from msnv_tpu.data.wavio import read_wav
+    frames = 6   # not a bucket multiple: exercises pad + trim
+    r = _post(server, "/synthesize",
+              {"cond": _cond(frames), "spk": 1, "seed": 3})
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "audio/wav"
+    wav = r.read()
+    # parse via the library reader (needs a path-like -> use BytesIO shim)
+    import tempfile, os
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        f.write(wav)
+        path = f.name
+    try:
+        audio, sr = read_wav(path)
+    finally:
+        os.unlink(path)
+    assert sr == 16000
+    assert audio.shape[0] == frames * CFG.lookback   # padding trimmed
+    assert np.abs(audio).max() <= 1.0
+
+
+def test_synthesize_speaker_mix_and_temperature(server):
+    r = _post(server, "/synthesize",
+              {"cond": _cond(4), "spk": [0.5, 0.5, 0.0],
+               "temperature": 0.7})
+    assert r.status == 200
+    assert len(r.read()) > 44
+
+
+def test_stream_chunked_matches_frame_count(server):
+    frames = 5
+    r = _post(server, "/stream", {"cond": _cond(frames), "spk": 0})
+    assert r.status == 200
+    assert r.getheader("Content-Type").startswith("audio/L16")
+    pcm = r.read()   # http.client reassembles chunked bodies
+    assert len(pcm) == frames * CFG.lookback * 2   # PCM16
+    audio = np.frombuffer(pcm, "<i2").astype(np.float32) / 32768.0
+    assert np.isfinite(audio).all()
+
+
+def test_stream_deterministic_same_seed(server):
+    body = {"cond": _cond(3), "spk": 2, "seed": 9}
+    a = _post(server, "/stream", body).read()
+    b = _post(server, "/stream", body).read()
+    assert a == b
+
+
+def test_error_paths(server):
+    # wrong cond width
+    r = _post(server, "/synthesize", {"cond": [[0.0] * 3], "spk": 0})
+    assert r.status == 400
+    assert "cond" in json.loads(r.read())["error"]
+    # spk out of range
+    r = _post(server, "/synthesize", {"cond": _cond(2), "spk": 99})
+    assert r.status == 400
+    # malformed JSON
+    c = _conn(server)
+    c.request("POST", "/synthesize", "{not json",
+              {"Content-Type": "application/json"})
+    assert c.getresponse().status == 400
+    # unknown path
+    c = _conn(server)
+    c.request("GET", "/nope")
+    assert c.getresponse().status == 404
+
+
+def test_wav_bytes_roundtrip(tmp_path):
+    """wav_bytes == write_wav file contents (the refactor is behavioral
+    identity)."""
+    from msnv_tpu.data.wavio import wav_bytes, write_wav
+    x = np.sin(np.linspace(0, 20, 400)).astype(np.float32)
+    p = tmp_path / "x.wav"
+    write_wav(str(p), x, 16000)
+    assert p.read_bytes() == wav_bytes(x, 16000)
+    assert p.read_bytes() != wav_bytes(x, 16000, dtype="float32")
