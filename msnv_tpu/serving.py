@@ -215,7 +215,10 @@ def main(argv=None):
     from msnv_tpu.config import parse_tag
     from msnv_tpu.models.samplernn import init_params
     from msnv_tpu.training.checkpoint import load_any
+    from msnv_tpu.utils.profiling import enable_compile_cache
     import os
+
+    enable_compile_cache()
 
     p = argparse.ArgumentParser()
     p.add_argument("--model", required=True)
