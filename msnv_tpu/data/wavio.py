@@ -39,6 +39,15 @@ def read_wav(path) -> tuple:
         audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
         if audio_format == 1 and bits == 16:
             x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif audio_format == 1 and bits == 24:
+            # 3-byte little-endian: widen to i4 via a zero low byte, then
+            # shift-divide (keeps the sign from the top byte)
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[:len(raw) - len(raw) % 3].reshape(-1, 3)
+            quads = np.zeros((raw.shape[0], 4), np.uint8)
+            quads[:, 1:] = raw
+            x = (quads.view("<i4")[:, 0].astype(np.float32)
+                 / 2147483648.0)
         elif audio_format == 1 and bits == 32:
             x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
         elif audio_format == 3 and bits == 32:

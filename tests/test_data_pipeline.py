@@ -27,6 +27,27 @@ def test_wav_roundtrip(tmp_path):
     np.testing.assert_array_equal(y, x)
 
 
+def test_read_pcm24(tmp_path):
+    """Hand-built PCM24 file decodes with full 24-bit precision (corpora
+    like studio recordings commonly ship 24-bit; librosa in the reference
+    handled them)."""
+    import struct
+    rng = np.random.RandomState(1)
+    levels = (rng.rand(800) * 2 ** 24 - 2 ** 23).astype(np.int64)
+    payload = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in levels)
+    p = tmp_path / "c.wav"
+    with open(p, "wb") as f:
+        f.write(struct.pack("<4sI4s", b"RIFF", 36 + len(payload), b"WAVE"))
+        f.write(struct.pack("<4sI", b"fmt ", 16))
+        f.write(struct.pack("<HHIIHH", 1, 1, 16000, 16000 * 3, 3, 24))
+        f.write(struct.pack("<4sI", b"data", len(payload)))
+        f.write(payload)
+    y, sr = read_wav(str(p))
+    assert sr == 16000 and y.shape == (800,)
+    np.testing.assert_allclose(y, levels / (2.0 ** 23), atol=1e-7)
+
+
 @pytest.fixture(scope="module")
 def corpus_env(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("corpus"))
