@@ -50,6 +50,10 @@ def main():
     p.add_argument("--gen_seconds", type=float, default=3.0)
     p.add_argument("--tiny", action="store_true",
                    help="CPU smoke scale (small dim/corpus)")
+    p.add_argument("--cond_source", default="ahocoder",
+                   choices=["ahocoder", "mel"],
+                   help="mel: Ahocoder-free log-mel conditioning "
+                        "(data/mel.py) end to end — train + generate")
     args = p.parse_args()
 
     import jax
@@ -69,8 +73,9 @@ def main():
     # full runs must not silently reuse the other scale's corpus or npy
     # caches (they encode different cond_len/batch/seq geometry)
     scale = "tiny" if args.tiny else "full"
+    mel = args.cond_source == "mel"
     data_dir = os.path.join(out, f"datasets_{scale}")
-    results = os.path.join(out, f"results_{scale}")
+    results = os.path.join(out, f"results_{scale}" + ("_mel" if mel else ""))
 
     n_spk = 6
     if args.tiny:
@@ -98,11 +103,12 @@ def main():
     os.chdir(out)   # npy caches land under out/
     try:
         train_main([
-            "--exp", "flagship",
+            "--exp", "flagship-mel" if mel else "flagship",
             *model_flags,
             "--cond_len", str(cond_len),
             "--look_ahead", "true", "--norm_ind", "true",
             "--ulaw", "true",
+            "--cond_source", args.cond_source,
             "--datasets_path", data_dir,
             "--dataset", "wav/", "--cond_set", "cond/",
             "--results_path", results,
@@ -138,14 +144,17 @@ def main():
     with open(gen_spk, "w") as f:
         f.write("\n".join(str(i) for i in range(len(names))))
 
-    gen_out = os.path.join(out, "gen")
+    gen_out = os.path.join(out, "gen" + ("_mel" if mel else ""))
     shutil.rmtree(gen_out, ignore_errors=True)
     gen_main([
         "--model", model_path,
-        "--cond_path", os.path.join(data_dir, "cond"),
+        # mel conditioners are computed from the waveforms themselves
+        "--cond_path", os.path.join(data_dir, "wav" if mel else "cond"),
+        "--cond_source", args.cond_source,
         "--cond_list", gen_cond, "--spk_list", gen_spk,
-        "--min_max", os.path.join(data_dir, "npy_datasets",
-                                  "min_max_ind.npy"),
+        "--min_max", os.path.join(
+            data_dir, "npy_datasets",
+            "min_max_ind_mel.npy" if mel else "min_max_ind.npy"),
         "--out_dir", gen_out,
     ])
 
@@ -173,6 +182,7 @@ def main():
         "run": "flagship canonical config via the public CLIs "
                "(scripts/flagship_run.py)",
         "tiny": args.tiny,
+        "cond_source": args.cond_source,
         "epochs": args.epochs,
         "train_wall_s": round(train_wall, 1),
         "final_train_nll_bits": [v for v in stats["training_loss"]
@@ -193,7 +203,9 @@ def main():
             for k in ("mcd_db", "f0_rmse_hz", "vuv_error_rate")
             if k in stats},
     }
-    with open(os.path.join(out, "flagship_report.json"), "w") as f:
+    report_name = ("flagship_report_mel.json" if mel
+                   else "flagship_report.json")
+    with open(os.path.join(out, report_name), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
     ok = rho == 1.0
