@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -41,11 +42,73 @@ from msnv_tpu.data.wavio import pcm16_bytes, wav_bytes
 SAMPLE_RATE = 16000
 
 
+class _Batcher:
+    """Leader-follower dynamic batching: concurrent requests of the same
+    (frames, temperature, speaker-kind) group coalesce into ONE device
+    call of up to `max_batch` lanes.
+
+    The first request into a group becomes the leader: it lingers up to
+    `linger_s` (or until the group fills), then executes the whole group
+    and distributes results; followers just wait on their slot. No
+    dedicated worker thread — idle servers cost nothing.
+    """
+
+    def __init__(self, run_group, max_batch: int, linger_s: float):
+        self._run_group = run_group     # (gkey, [item]) -> [result]
+        self.max_batch = int(max_batch)
+        self.linger_s = float(linger_s)
+        self._groups = {}               # gkey -> {"items": [...], "closed"}
+        self._cv = threading.Condition()
+        self.batch_sizes = []           # observability (tests/monitoring)
+
+    def submit(self, gkey, item):
+        slot = {"ev": threading.Event()}
+        with self._cv:
+            group = self._groups.get(gkey)
+            if group is None or group.get("closed") \
+                    or len(group["items"]) >= self.max_batch:
+                group = {"items": [], "closed": False}
+                self._groups[gkey] = group
+            group["items"].append((item, slot))
+            leader = len(group["items"]) == 1
+            if len(group["items"]) >= self.max_batch:
+                if self._groups.get(gkey) is group:
+                    del self._groups[gkey]
+                self._cv.notify_all()
+
+        if leader:
+            deadline = time.time() + self.linger_s
+            with self._cv:
+                while (len(group["items"]) < self.max_batch
+                       and time.time() < deadline):
+                    self._cv.wait(timeout=max(deadline - time.time(), 1e-4))
+                group["closed"] = True
+                if self._groups.get(gkey) is group:
+                    del self._groups[gkey]
+                items = list(group["items"])
+            self.batch_sizes.append(len(items))
+            try:
+                results = self._run_group(gkey, [it for it, _ in items])
+                for (_, s), r in zip(items, results):
+                    s["result"] = r
+                    s["ev"].set()
+            except Exception as e:   # propagate to every waiter
+                for _, s in items:
+                    s["error"] = e
+                    s["ev"].set()
+
+        slot["ev"].wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+
 class VocoderService:
     """Holds the model + compiled generation callables for the server."""
 
     def __init__(self, params, cfg: ModelConfig, temperature_default=1.0,
                  frame_bucket: int = 16, frames_per_push: int = 1,
+                 max_batch: int = 1, linger_ms: float = 10.0,
                  name: str = "msnv"):
         self.params = params
         self.cfg = cfg
@@ -53,9 +116,16 @@ class VocoderService:
         self.frame_bucket = int(frame_bucket)
         self.frames_per_push = int(frames_per_push)
         self.name = name
-        self._gen_cache = {}       # (n_frames_padded, T) -> generate fn
+        self._gen_cache = {}       # temperature -> generate fn
         self._stream_cache = {}    # T -> (init_state, push)
         self._lock = threading.Lock()  # one device user at a time
+        # dynamic batching (max_batch > 1): concurrent /synthesize
+        # requests coalesce into one device call. Per-request `seed`
+        # reproducibility then holds only for identical batch
+        # composition (the per-step PRNG key is shared across lanes).
+        self._batcher = (_Batcher(self._run_group, max_batch,
+                                  linger_ms / 1000.0)
+                         if max_batch > 1 else None)
 
     # -- request plumbing ------------------------------------------------
 
@@ -91,8 +161,6 @@ class VocoderService:
 
     def synthesize(self, body: dict) -> bytes:
         """Full-utterance synthesis -> WAV bytes."""
-        import jax
-        from msnv_tpu.models.generate import generate_fn
         cond, spk, temperature, seed = self._parse(body)
         n = cond.shape[0]
         # pad frames up to a bucket multiple (repeat the last frame) so the
@@ -102,17 +170,43 @@ class VocoderService:
             import jax.numpy as jnp
             cond = jnp.concatenate(
                 [cond, jnp.repeat(cond[-1:], padded - n, axis=0)], axis=0)
-        # one callable per temperature; jax.jit inside it retraces per
-        # (padded-frames, spk-dtype) signature — the bucket padding above
-        # is what keeps that retrace count bounded
+        item = {"cond": cond, "spk": spk, "seed": seed, "n": n}
+        gkey = (padded, temperature,
+                "f" if np.asarray(spk).dtype.kind == "f" else "i")
+        if self._batcher is not None:
+            audio = self._batcher.submit(gkey, item)
+        else:
+            audio = self._run_group(gkey, [item])[0]
+        return wav_bytes(audio, SAMPLE_RATE)
+
+    def _run_group(self, gkey, items) -> list:
+        """ONE device call for a group of same-shape requests; returns the
+        per-request float audio (trimmed to each request's frames)."""
+        import jax
+        import jax.numpy as jnp
+        from msnv_tpu.models.generate import generate_fn
+        _padded, temperature, _kind = gkey
+        b = len(items)
+        # pad lanes to the next power of two so distinct live batch sizes
+        # cause at most log2(max_batch) retraces (padded lanes repeat
+        # lane 0 and are sliced away)
+        lanes = 1 << (b - 1).bit_length()
+        conds = jnp.stack([it["cond"] for it in items]
+                          + [items[0]["cond"]] * (lanes - b))
+        spks = jnp.concatenate([it["spk"] for it in items]
+                               + [items[0]["spk"]] * (lanes - b))
+        # one key for the whole batch: fold the request seeds together
+        key = jax.random.PRNGKey(items[0]["seed"])
+        for it in items[1:]:
+            key = jax.random.fold_in(key, it["seed"])
         with self._lock:
             if temperature not in self._gen_cache:
                 self._gen_cache[temperature] = generate_fn(
                     self.params, self.cfg, temperature=temperature)
-            audio, _ = self._gen_cache[temperature](
-                cond[None], spk, jax.random.PRNGKey(seed))
-        audio = np.asarray(audio)[0, :n * self.cfg.lookback]
-        return wav_bytes(audio, SAMPLE_RATE)
+            audio, _ = self._gen_cache[temperature](conds, spks, key)
+        audio = np.asarray(audio)
+        return [audio[i, :it["n"] * self.cfg.lookback]
+                for i, it in enumerate(items)]
 
     # -- streaming synthesis ----------------------------------------------
 
@@ -226,6 +320,11 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--frames_per_push", type=int, default=1)
+    p.add_argument("--max_batch", type=int, default=1,
+                   help=">1: dynamically batch concurrent /synthesize "
+                        "requests into one device call")
+    p.add_argument("--linger_ms", type=float, default=10.0,
+                   help="max wait for co-batchable requests")
     args = p.parse_args(argv)
 
     tag = os.path.basename(os.path.dirname(os.path.dirname(
@@ -236,6 +335,8 @@ def main(argv=None):
     service = VocoderService(state["params"], cfg.model,
                              temperature_default=args.temperature,
                              frames_per_push=args.frames_per_push,
+                             max_batch=args.max_batch,
+                             linger_ms=args.linger_ms,
                              name=tag)
     server = make_server(service, args.host, args.port)
     print(f"serving {tag} on http://{args.host}:"

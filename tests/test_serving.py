@@ -133,3 +133,75 @@ def test_wav_bytes_roundtrip(tmp_path):
     write_wav(str(p), x, 16000)
     assert p.read_bytes() == wav_bytes(x, 16000)
     assert p.read_bytes() != wav_bytes(x, 16000, dtype="float32")
+
+
+def test_batcher_coalesces_concurrent_requests():
+    """max_batch>1: N concurrent same-shape requests run as FEWER device
+    calls; every caller gets its own correctly-sized audio."""
+    from msnv_tpu.serving import VocoderService
+
+    params = init_params(jax.random.PRNGKey(1), CFG)
+    service = VocoderService(params, CFG, frame_bucket=4,
+                             max_batch=4, linger_ms=150)
+    # warm the compile so the linger window isn't eaten by tracing
+    service.synthesize({"cond": _cond(4), "spk": 0})
+
+    results = {}
+    def call(i):
+        wav = service.synthesize({"cond": _cond(4, seed=i), "spk": i % 3,
+                                  "seed": i})
+        results[i] = wav
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(results) == 6
+    assert all(len(w) > 44 for w in results.values())
+    sizes = service._batcher.batch_sizes
+    assert sum(sizes) == 7   # 1 warmup + 6 concurrent
+    assert max(sizes) > 1, sizes   # at least one call actually batched
+
+
+def test_batcher_error_propagates_to_all_waiters():
+    from msnv_tpu.serving import _Batcher
+
+    def boom(gkey, items):
+        raise RuntimeError("device on fire")
+
+    b = _Batcher(boom, max_batch=2, linger_s=0.2)
+    errs = []
+    def call():
+        try:
+            b.submit("g", {})
+        except RuntimeError as e:
+            errs.append(str(e))
+    threads = [threading.Thread(target=call) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert errs == ["device on fire"] * 2
+
+
+def test_batcher_overflow_starts_new_group():
+    """More submitters than max_batch: the overflow request forms a new
+    group with its own leader (nobody deadlocks)."""
+    from msnv_tpu.serving import _Batcher
+
+    calls = []
+    def run(gkey, items):
+        calls.append(len(items))
+        return [i for i, _ in enumerate(items)]
+
+    b = _Batcher(run, max_batch=2, linger_s=0.25)
+    outs = []
+    threads = [threading.Thread(target=lambda: outs.append(b.submit("g", {})))
+               for _ in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert len(outs) == 5
+    assert sum(calls) == 5
+    assert all(c <= 2 for c in calls)
