@@ -37,8 +37,8 @@ def main(argv=None):
                    default=["validation", "test"])
     args = p.parse_args(argv)
 
-    tag = os.path.basename(os.path.dirname(os.path.dirname(
-        os.path.abspath(args.model))))
+    from msnv_tpu.config import tag_from_checkpoint_path
+    tag = tag_from_checkpoint_path(args.model)
     cfg = parse_tag(tag)
     m = cfg.model
     print("config from tag:", tag)

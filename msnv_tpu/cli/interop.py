@@ -27,8 +27,8 @@ import sys
 def _tag_from_path(path: str, override: str | None) -> str:
     if override:
         return override
-    return os.path.basename(os.path.dirname(os.path.dirname(
-        os.path.abspath(path))))
+    from msnv_tpu.config import tag_from_checkpoint_path
+    return tag_from_checkpoint_path(path)
 
 
 def main(argv=None):
@@ -40,6 +40,10 @@ def main(argv=None):
                    help="experiment tag (default: from the checkpoint's "
                         "results/<tag>/checkpoints/ path)")
     p.add_argument("--out", default=None)
+    p.add_argument("--unsafe_load", action="store_true",
+                   help="allow full-pickle torch.load for pre-weights_only "
+                        "checkpoints (runs arbitrary code from the file — "
+                        "only for checkpoints you trust)")
     args = p.parse_args(argv)
 
     import jax
@@ -53,12 +57,14 @@ def main(argv=None):
         if not args.torch_ckpt:
             p.error("import needs --torch_ckpt")
         import torch
-        try:
-            sd = torch.load(args.torch_ckpt, map_location="cpu",
-                            weights_only=True)
-        except Exception:
+        if args.unsafe_load:
+            # pre-weights_only-era files (e.g. torch 0.4 saves) need the
+            # full unpickler; the flag is explicit consent
             sd = torch.load(args.torch_ckpt, map_location="cpu",
                             weights_only=False)
+        else:
+            sd = torch.load(args.torch_ckpt, map_location="cpu",
+                            weights_only=True)
         tag = _tag_from_path(args.torch_ckpt, args.tag)
         cfg = parse_tag(tag)
         params = params_from_reference_state_dict(sd, cfg.model)

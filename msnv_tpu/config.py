@@ -209,6 +209,15 @@ def _as_type(value: str, like):
     return value
 
 
+def tag_from_checkpoint_path(path: str) -> str:
+    """Experiment tag from a results/<tag>/checkpoints/<ckpt> path — the
+    reference's config store is the directory name (ref generate.py:126-129);
+    shared by the generate/evaluate/interop/serve entry points."""
+    import os
+    return os.path.basename(os.path.dirname(os.path.dirname(
+        os.path.abspath(path))))
+
+
 def parse_tag(tag: str, exp: str = "samplernn") -> ExperimentConfig:
     """Re-hydrate an ExperimentConfig from a serialized tag string.
 

@@ -77,11 +77,14 @@ class _Batcher:
                 self._cv.notify_all()
 
         if leader:
-            deadline = time.time() + self.linger_s
+            # monotonic: a wall-clock step must not stretch/collapse the
+            # batching window
+            deadline = time.monotonic() + self.linger_s
             with self._cv:
                 while (len(group["items"]) < self.max_batch
-                       and time.time() < deadline):
-                    self._cv.wait(timeout=max(deadline - time.time(), 1e-4))
+                       and time.monotonic() < deadline):
+                    self._cv.wait(
+                        timeout=max(deadline - time.monotonic(), 1e-4))
                 group["closed"] = True
                 if self._groups.get(gkey) is group:
                     del self._groups[gkey]
@@ -91,10 +94,11 @@ class _Batcher:
                 results = self._run_group(gkey, [it for it, _ in items])
                 for (_, s), r in zip(items, results):
                     s["result"] = r
-                    s["ev"].set()
-            except Exception as e:   # propagate to every waiter
-                for _, s in items:
+            except BaseException as e:  # even KeyboardInterrupt/SystemExit
+                for _, s in items:      # must release every follower
                     s["error"] = e
+            finally:
+                for _, s in items:
                     s["ev"].set()
 
         slot["ev"].wait()
@@ -155,7 +159,10 @@ class VocoderService:
                 "spk_dim": self.cfg.spk_dim,
                 "cond_dim": self.cfg.effective_cond_dim,
                 "samples_per_frame": self.cfg.lookback,
-                "sample_rate": SAMPLE_RATE}
+                "sample_rate": SAMPLE_RATE,
+                "frames_per_push": self.frames_per_push,
+                "max_batch": (self._batcher.max_batch
+                              if self._batcher else 1)}
 
     # -- batch synthesis ---------------------------------------------------
 
@@ -201,6 +208,7 @@ class VocoderService:
             key = jax.random.fold_in(key, it["seed"])
         with self._lock:
             if temperature not in self._gen_cache:
+                self._evict(self._gen_cache)
                 self._gen_cache[temperature] = generate_fn(
                     self.params, self.cfg, temperature=temperature)
             audio, _ = self._gen_cache[temperature](conds, spks, key)
@@ -208,23 +216,37 @@ class VocoderService:
         return [audio[i, :it["n"] * self.cfg.lookback]
                 for i, it in enumerate(items)]
 
+    MAX_CACHED_CALLABLES = 8
+
+    def _evict(self, cache: dict) -> None:
+        """Bound the compiled-callable caches: each entry holds a full
+        jitted program with the params constant-folded in, and the key is
+        the CLIENT-supplied temperature — unbounded growth would let a
+        client OOM the server by sweeping temperature values."""
+        while len(cache) >= self.MAX_CACHED_CALLABLES:
+            cache.pop(next(iter(cache)))   # oldest-inserted first
+
     # -- streaming synthesis ----------------------------------------------
 
-    def stream(self, body: dict):
-        """Yield PCM16 chunks as frame groups are generated.
-
-        Trailing frames beyond a multiple of `frames_per_push` are not
-        synthesized (pad client-side, or use frames_per_push=1)."""
-        import jax
+    def _stream_push(self, temperature, k):
         from msnv_tpu.models.generate import streaming_fn
+        with self._lock:
+            if (temperature, k) not in self._stream_cache:
+                self._evict(self._stream_cache)
+                self._stream_cache[(temperature, k)] = streaming_fn(
+                    self.params, self.cfg, frames_per_push=k,
+                    temperature=temperature)
+        return self._stream_cache[(temperature, k)]
+
+    def stream(self, body: dict):
+        """Yield PCM16 chunks as frame groups are generated. Trailing
+        frames beyond a multiple of `frames_per_push` finish with 1-frame
+        pushes (the carry pytree is compatible across push widths, and a
+        K-frame push is sample-exact vs K single pushes)."""
+        import jax
         cond, spk, temperature, seed = self._parse(body)
         K = self.frames_per_push
-        with self._lock:
-            if temperature not in self._stream_cache:
-                self._stream_cache[temperature] = streaming_fn(
-                    self.params, self.cfg, frames_per_push=K,
-                    temperature=temperature)
-        init_state, push = self._stream_cache[temperature]
+        init_state, push = self._stream_push(temperature, K)
         carry = init_state(1, spk, jax.random.PRNGKey(seed))
         n = cond.shape[0]
         for start in range(0, n - n % K, K):
@@ -233,13 +255,27 @@ class VocoderService:
                 carry, audio, _ = push(
                     carry, block[None] if K > 1 else block[None, 0])
             yield pcm16_bytes(np.asarray(audio)[0])
+        if n % K:
+            _, push1 = self._stream_push(temperature, 1)
+            for j in range(n - n % K, n):
+                with self._lock:
+                    carry, audio, _ = push1(carry, cond[None, j])
+                yield pcm16_bytes(np.asarray(audio)[0])
 
 
 class _Handler(BaseHTTPRequestHandler):
     service: VocoderService  # set by make_server
+    # chunked transfer (used by /stream) does not exist in HTTP/1.0;
+    # version-keyed clients would read the hex chunk framing as audio
+    protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
+
+    def _chunk(self, data: bytes):
+        self.wfile.write(f"{len(data):X}\r\n".encode())
+        self.wfile.write(data + b"\r\n")
+        self.wfile.flush()
 
     def _json(self, code: int, obj: dict):
         data = json.dumps(obj).encode()
@@ -274,15 +310,25 @@ class _Handler(BaseHTTPRequestHandler):
                 self.wfile.write(wav)
             elif self.path == "/stream":
                 chunks = self.service.stream(body)
+                # prime the generator BEFORE sending headers: request
+                # validation raises at the first iteration, and a 400
+                # must not follow an already-sent 200 + chunked header
+                try:
+                    first = next(chunks)
+                except StopIteration:
+                    first = None
                 self.send_response(200)
                 self.send_header("Content-Type",
                                  f"audio/L16;rate={SAMPLE_RATE}")
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
-                for chunk in chunks:
-                    self.wfile.write(f"{len(chunk):X}\r\n".encode())
-                    self.wfile.write(chunk + b"\r\n")
-                    self.wfile.flush()
+                # a mid-stream failure past this point terminates the
+                # connection without the 0-chunk: clients see a truncated
+                # chunked body (a detectable error), never a fake 200-OK
+                if first is not None:
+                    self._chunk(first)
+                    for chunk in chunks:
+                        self._chunk(chunk)
                 self.wfile.write(b"0\r\n\r\n")
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})

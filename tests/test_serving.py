@@ -205,3 +205,43 @@ def test_batcher_overflow_starts_new_group():
     assert len(outs) == 5
     assert sum(calls) == 5
     assert all(c <= 2 for c in calls)
+
+
+def test_stream_invalid_request_returns_400(server):
+    """Validation must fail BEFORE the 200/chunked headers go out."""
+    r = _post(server, "/stream", {"cond": [[0.0, 0.0]], "spk": 0})
+    assert r.status == 400
+    assert "cond" in json.loads(r.read())["error"]
+
+
+def test_responses_are_http11(server):
+    c = _conn(server)
+    c.request("GET", "/healthz")
+    r = c.getresponse()
+    assert r.version == 11
+    h = json.loads(r.read())
+    assert h["frames_per_push"] == 1 and h["max_batch"] == 1
+
+
+def test_stream_tail_completes_with_multiframe_push():
+    """frames_per_push=2, 5 frames: the odd tail frame is synthesized via
+    1-frame pushes, and the result is sample-exact vs a K=1 server."""
+    from msnv_tpu.serving import VocoderService
+    params = init_params(jax.random.PRNGKey(3), CFG)
+    body = {"cond": _cond(5, seed=4), "spk": 1, "seed": 6}
+    s2 = VocoderService(params, CFG, frames_per_push=2)
+    skt1 = VocoderService(params, CFG, frames_per_push=1)
+    pcm_k2 = b"".join(s2.stream(dict(body)))
+    pcm_k1 = b"".join(skt1.stream(dict(body)))
+    assert len(pcm_k2) == 5 * CFG.lookback * 2
+    assert pcm_k2 == pcm_k1
+
+
+def test_callable_cache_is_bounded():
+    from msnv_tpu.serving import VocoderService
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    service = VocoderService(params, CFG, frame_bucket=4)
+    for i in range(service.MAX_CACHED_CALLABLES + 3):
+        service.synthesize({"cond": _cond(4), "spk": 0,
+                            "temperature": 0.5 + 0.01 * i})
+    assert len(service._gen_cache) <= service.MAX_CACHED_CALLABLES
