@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="call jax.distributed.initialize() for pod slices")
     p.add_argument("--save_every_iterations", type=int, default=0,
                    help="mid-epoch checkpoint interval (0 = per epoch only)")
+    p.add_argument("--device_corpus", default="auto",
+                   choices=["auto", "true", "false"],
+                   help="keep the packed corpus resident in device HBM "
+                        "and slice chunks in-jit (auto: on below 2 GB)")
     p.add_argument("--metrics_every", type=int, default=0,
                    help="score objective copy-synthesis metrics (MCD, F0 "
                         "RMSE, V/UV error) on fixed validation utterances "
@@ -208,7 +212,11 @@ def main(argv=None):
         print(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
     import jax.numpy as jnp
     trainer = Trainer(cfg, params, optimizer, loader, mesh=mesh,
-                      compute_dtype=jnp.bfloat16 if args.bf16 else None)
+                      compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                      device_corpus=args.device_corpus)
+    if trainer._step_indexed is not None:
+        print(f"device-resident corpus: "
+              f"{loader.device_bytes() / 1e6:.0f} MB in HBM")
 
     ckpt_dir = os.path.join(results_path, "checkpoints")
     manager = CheckpointManager(ckpt_dir, args.keep_old_checkpoints,

@@ -69,6 +69,14 @@ class ChunkLoader:
     def __len__(self) -> int:
         return self.num_chunks
 
+    def chunk_spk(self, k: int) -> np.ndarray:
+        """(B,) majority speaker per lane window (ref dataset.py:277-282)."""
+        cis = self.cond_in_seq
+        from_cond = k * cis + 1
+        spk_window = self.corpus.spk[:, from_cond:from_cond + cis].astype(int)
+        return np.array([np.argmax(np.bincount(row)) for row in spk_window],
+                        dtype=np.int32)
+
     def get_chunk(self, k: int) -> Chunk:
         seq, ov, cis = self.seq_len, self.overlap_len, self.cond_in_seq
         start = k * seq
@@ -76,12 +84,30 @@ class ChunkLoader:
         target = self._qdata[:, start + ov:start + ov + seq]
         from_cond = k * cis + 1  # one-frame offset (ref dataset.py:261-266)
         cond = self.corpus.cond[:, from_cond:from_cond + cis].astype(np.float32)
-        spk_window = self.corpus.spk[:, from_cond:from_cond + cis].astype(int)
-        # majority speaker per lane (ref dataset.py:277-282)
-        spk = np.array([np.argmax(np.bincount(row)) for row in spk_window],
-                       dtype=np.int32)
         return Chunk(data=data, reset=(k == 0), target=target, cond=cond,
-                     spk=spk, index=k)
+                     spk=self.chunk_spk(k), index=k)
+
+    def device_bytes(self) -> int:
+        """HBM footprint of device_arrays() (packed corpus, f32 cond)."""
+        return (self._qdata.size * 4 + self.corpus.cond.size * 4
+                + self.num_chunks * self._qdata.shape[0] * 4)
+
+    def device_arrays(self):
+        """Upload the packed corpus ONCE; training/eval steps then slice
+        per-chunk tensors in-jit by chunk index
+        (training/step.chunk_slices) — zero per-step host->device
+        traffic. The majority-speaker labels are precomputed host-side
+        into a (num_chunks, B) table (bincount is not worth porting)."""
+        import jax.numpy as jnp
+        spk_table = (np.stack([self.chunk_spk(k)
+                               for k in range(self.num_chunks)])
+                     if self.num_chunks else
+                     np.zeros((0, self._qdata.shape[0]), np.int32))
+        return {
+            "qdata": jnp.asarray(self._qdata.astype(np.int32)),
+            "cond": jnp.asarray(self.corpus.cond.astype(np.float32)),
+            "spk": jnp.asarray(spk_table),
+        }
 
     def epoch(self, start_chunk: int = 0) -> Iterator[Chunk]:
         """Iterate chunks in order; `start_chunk` supports mid-epoch resume."""

@@ -30,17 +30,9 @@ from msnv_tpu.parallel.mesh import (
 )
 
 
-def make_train_step(cfg: ModelConfig, optimizer, mesh=None, donate=True,
-                    compute_dtype=None):
-    """Build the jitted train step.
-
-    step(params, opt_state, state, data, reset, target, cond, spk)
-      -> (params, opt_state, state, loss_bits)
-
-    compute_dtype=jnp.bfloat16 enables mixed-precision training: f32 master
-    params (Adam in f32), forward/backward matmuls in bf16 via a
-    differentiable cast, loss/log-softmax in f32.
-    """
+def _make_step_core(cfg: ModelConfig, optimizer, compute_dtype):
+    """The un-jitted train step body, shared by the tensor-argument and
+    the indexed (device-resident corpus) entry points."""
 
     def loss_fn(params, state, data, reset, cond, spk, target):
         if compute_dtype is not None:
@@ -65,6 +57,80 @@ def make_train_step(cfg: ModelConfig, optimizer, mesh=None, donate=True,
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, state_stop_gradient(new_state), loss
+
+    return step
+
+
+def chunk_slices(corpus, k, seq_len: int, overlap_len: int,
+                 cond_in_seq: int):
+    """In-jit equivalent of data/loader.ChunkLoader.get_chunk(k) over the
+    device-resident packed corpus (loader.device_arrays()): dynamic slices
+    by a TRACED chunk index, so one executable serves every chunk and no
+    per-step tensors cross the host->device boundary."""
+    start = k * seq_len
+    data = jax.lax.dynamic_slice_in_dim(
+        corpus["qdata"], start, seq_len + overlap_len - 1, axis=1)
+    target = jax.lax.dynamic_slice_in_dim(
+        corpus["qdata"], start + overlap_len, seq_len, axis=1)
+    # one-frame cond offset (ref dataset.py:261-266)
+    cond = jax.lax.dynamic_slice_in_dim(
+        corpus["cond"], k * cond_in_seq + 1, cond_in_seq, axis=1)
+    spk = jax.lax.dynamic_index_in_dim(corpus["spk"], k, axis=0,
+                                       keepdims=False)
+    return data, k == 0, target, cond, spk
+
+
+def make_train_step_indexed(cfg: ModelConfig, optimizer, seq_len: int,
+                            overlap_len: int, cond_in_seq: int,
+                            donate=True, compute_dtype=None):
+    """Indexed train step for device-resident corpora:
+
+    step(params, opt_state, state, corpus, k)
+      -> (params, opt_state, state, loss_bits)
+
+    Numerically identical to make_train_step on the host-sliced tensors
+    (the slicing is exact); wall-clock it removes the per-step
+    host->device chunk upload — the dominant cost of the tensor-argument
+    loop on hosts with slow interconnect to the accelerator.
+    """
+    core = _make_step_core(cfg, optimizer, compute_dtype)
+
+    def step(params, opt_state, state, corpus, k):
+        data, reset, target, cond, spk = chunk_slices(
+            corpus, k, seq_len, overlap_len, cond_in_seq)
+        return core(params, opt_state, state, data, reset, target, cond,
+                    spk)
+
+    kwargs = {"donate_argnums": (0, 1, 2)} if donate else {}
+    return jax.jit(step, **kwargs)
+
+
+def make_eval_step_indexed(cfg: ModelConfig, seq_len: int,
+                           overlap_len: int, cond_in_seq: int):
+    """Indexed eval step over a device-resident corpus."""
+
+    def step(params, state, corpus, k):
+        data, reset, target, cond, spk = chunk_slices(
+            corpus, k, seq_len, overlap_len, cond_in_seq)
+        logits, new_state, _ = predictor_apply(
+            params, cfg, data, reset, cond, spk, state, output="logits")
+        return nll_bits_from_logits(logits, target), new_state
+
+    return jax.jit(step)
+
+
+def make_train_step(cfg: ModelConfig, optimizer, mesh=None, donate=True,
+                    compute_dtype=None):
+    """Build the jitted train step.
+
+    step(params, opt_state, state, data, reset, target, cond, spk)
+      -> (params, opt_state, state, loss_bits)
+
+    compute_dtype=jnp.bfloat16 enables mixed-precision training: f32 master
+    params (Adam in f32), forward/backward matmuls in bf16 via a
+    differentiable cast, loss/log-softmax in f32.
+    """
+    step = _make_step_core(cfg, optimizer, compute_dtype)
 
     kwargs = {}
     if donate:

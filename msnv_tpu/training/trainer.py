@@ -18,8 +18,12 @@ from msnv_tpu.training.step import make_eval_step, make_train_step
 
 
 class Trainer:
+    #: device-corpus "auto" threshold: upload a corpus to HBM only below
+    #: this footprint (big corpora must keep streaming from host RAM)
+    DEVICE_CORPUS_MAX_BYTES = 2 << 30
+
     def __init__(self, cfg: ExperimentConfig, params, optimizer, loader,
-                 mesh=None, compute_dtype=None):
+                 mesh=None, compute_dtype=None, device_corpus="auto"):
         self.cfg = cfg
         self.tag = make_tag(cfg)
         self.params = params
@@ -34,6 +38,11 @@ class Trainer:
         self.start_chunk = 0   # mid-epoch resume point
         self.stats = {}
         self.plugins = []
+        self.compute_dtype = compute_dtype
+        self.device_corpus = device_corpus
+        self._corpus_dev = None       # device-resident packed corpus
+        self._step_indexed = None
+        self._eval_dev = {}           # id(loader) -> (corpus_dev, step)
 
         self.is_gan = cfg.model.variant == "gan"
         if self.is_gan:
@@ -66,6 +75,25 @@ class Trainer:
         else:
             self._step = step_builder(self.params, self.opt_state, self.state)
             self._eval = eval_builder(self.params, self.state)
+
+        # device-resident corpus: upload the packed arrays ONCE and slice
+        # chunks in-jit by index (training/step.chunk_slices) — removes
+        # the ~MB/step host->device chunk upload, the dominant wall-clock
+        # cost on hosts with slow accelerator interconnect.
+        if mesh is None and self._want_device_corpus(loader):
+            from msnv_tpu.training.step import make_train_step_indexed
+            self._corpus_dev = loader.device_arrays()
+            self._step_indexed = make_train_step_indexed(
+                cfg.model, optimizer, cfg.train.seq_len,
+                loader.overlap_len, loader.cond_in_seq,
+                compute_dtype=compute_dtype)
+
+    def _want_device_corpus(self, loader) -> bool:
+        if self.device_corpus in (False, "false"):
+            return False
+        if self.device_corpus in (True, "true"):
+            return True
+        return loader.device_bytes() <= self.DEVICE_CORPUS_MAX_BYTES
 
     # -- plugins ----------------------------------------------------------
     def register_plugin(self, plugin):
@@ -101,12 +129,51 @@ class Trainer:
             jnp.asarray(chunk.spk))
         return loss
 
+    def _pipelining_allowed(self) -> bool:
+        """Loss-fetch pipelining dispatches step k+1 before step k's
+        plugins run, so any plugin that snapshots trainer state
+        mid-epoch (an interval-saving SaverPlugin) would capture
+        one-step-ahead state — and the donated step invalidates older
+        buffers anyway. Those runs flush synchronously instead."""
+        from msnv_tpu.training.plugins import SaverPlugin
+        return not any(isinstance(p, SaverPlugin) and p.every_n_iterations
+                       for p in self.plugins)
+
     def train_epoch(self, start_chunk: int = 0):
-        for chunk in self.loader.epoch(start_chunk=start_chunk):
-            self.chunk_index = chunk.index
-            loss = self.train_chunk(chunk)
-            self.iterations += 1
-            self._call_plugins("iteration", float(loss))
+        """One epoch. When allowed, the loss fetch is pipelined one step
+        behind the device: step k+1 is dispatched BEFORE float(loss_k)
+        blocks, so the scalar's host round trip overlaps compute instead
+        of stalling it."""
+        pipelined = self._pipelining_allowed()
+        pending = None
+        if self._step_indexed is not None:
+            for k in range(start_chunk, len(self.loader)):
+                (self.params, self.opt_state, self.state,
+                 loss) = self._step_indexed(
+                    self.params, self.opt_state, self.state,
+                    self._corpus_dev, np.int32(k))
+                if pending is not None:
+                    self._flush_iteration(*pending)
+                if pipelined:
+                    pending = (k, loss)
+                else:
+                    self._flush_iteration(k, loss)
+        else:
+            for chunk in self.loader.epoch(start_chunk=start_chunk):
+                loss = self.train_chunk(chunk)
+                if pending is not None:
+                    self._flush_iteration(*pending)
+                if pipelined:
+                    pending = (chunk.index, loss)
+                else:
+                    self._flush_iteration(chunk.index, loss)
+        if pending is not None:
+            self._flush_iteration(*pending)
+
+    def _flush_iteration(self, index: int, loss):
+        self.chunk_index = index
+        self.iterations += 1
+        self._call_plugins("iteration", float(loss))
 
     def run(self, epoch_limit: int):
         """Run up to epoch_limit epochs, resuming from self.epochs (and,
@@ -123,18 +190,39 @@ class Trainer:
     # -- evaluation -------------------------------------------------------
     def evaluate(self, loader) -> float:
         """Mean NLL-bits over a partition, loss*batch_size weighted like the
-        reference (ref plugins.py:51-92). Uses fresh hidden state."""
+        reference (ref plugins.py:51-92). Uses fresh hidden state. Losses
+        are fetched ONCE at the end (one round trip per partition, not per
+        chunk); evaluation corpora ride the device-resident path too when
+        training does."""
         state = init_tier_state(self.cfg.model, loader._qdata.shape[0])
-        total, n = 0.0, 0
-        for chunk in loader.epoch():
-            loss, state = self._eval(
-                self.params, state, jnp.asarray(chunk.data),
-                jnp.asarray(chunk.reset), jnp.asarray(chunk.target),
-                jnp.asarray(chunk.cond), jnp.asarray(chunk.spk))
-            b = chunk.data.shape[0]
-            total += float(loss) * b
-            n += b
-        return total / max(n, 1)
+        losses = []
+        if self._step_indexed is not None \
+                and self._want_device_corpus(loader):
+            key = id(loader)
+            if key not in self._eval_dev:
+                from msnv_tpu.training.step import make_eval_step_indexed
+                self._eval_dev[key] = (
+                    loader.device_arrays(),
+                    make_eval_step_indexed(
+                        self.cfg.model, self.cfg.train.seq_len,
+                        loader.overlap_len, loader.cond_in_seq))
+            corpus_dev, eval_step = self._eval_dev[key]
+            for k in range(len(loader)):
+                loss, state = eval_step(self.params, state, corpus_dev,
+                                        np.int32(k))
+                losses.append(loss)
+        else:
+            for chunk in loader.epoch():
+                loss, state = self._eval(
+                    self.params, state, jnp.asarray(chunk.data),
+                    jnp.asarray(chunk.reset), jnp.asarray(chunk.target),
+                    jnp.asarray(chunk.cond), jnp.asarray(chunk.spk))
+                losses.append(loss)
+        if not losses:
+            return 0.0
+        # every chunk carries the full lane batch (full windows only), so
+        # the reference's loss*batch averaging reduces to the mean
+        return float(jnp.stack(losses).mean())
 
     # -- checkpoint interface ---------------------------------------------
     def checkpoint_state(self):

@@ -216,3 +216,77 @@ def test_bf16_mixed_precision_training(tiny_setup):
     assert float(l) < first - 0.2
     # master params stay f32
     assert p["mlp"]["hidden"]["w"].dtype == jnp.float32
+
+
+def _trainer(cfg, loader, device_corpus, seed=0):
+    params = init_params(jax.random.PRNGKey(seed), cfg.model)
+    return Trainer(cfg, params, make_optimizer(cfg.train), loader,
+                   device_corpus=device_corpus)
+
+
+def test_device_corpus_matches_host_path(tiny_setup):
+    """device_corpus=True (in-jit chunk slicing by index) must reproduce
+    the host-sliced training trajectory exactly — same params, same
+    per-iteration losses, same validation score."""
+    cfg, ccfg, corpus, loader, root = tiny_setup
+
+    t_host = _trainer(cfg, loader, device_corpus=False)
+    t_dev = _trainer(cfg, loader, device_corpus=True)
+    assert t_dev._step_indexed is not None and t_host._step_indexed is None
+
+    class Capture:
+        def __init__(self):
+            self.losses = []
+
+        def register(self, trainer):
+            pass
+
+        def iteration(self, loss):
+            self.losses.append(loss)
+
+        def epoch(self, epoch_index):
+            pass
+
+    cap_h, cap_d = Capture(), Capture()
+    t_host.register_plugin(cap_h)
+    t_dev.register_plugin(cap_d)
+    t_host.run(2)
+    t_dev.run(2)
+    assert len(cap_h.losses) == len(cap_d.losses) > 0
+    np.testing.assert_allclose(cap_h.losses, cap_d.losses, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(t_host.params),
+                    jax.tree_util.tree_leaves(t_dev.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # evaluation rides the device path and agrees too
+    assert t_dev.evaluate(loader) == pytest.approx(
+        t_host.evaluate(loader), abs=1e-5)
+
+
+def test_pipelined_flush_checkpoint_snapshot(tiny_setup, tmp_path):
+    """Mid-epoch interval saves under the pipelined loss flush must store
+    the state AS OF the saved cursor (not the one-step-ahead live state):
+    resuming from such a save reproduces uninterrupted training exactly."""
+    cfg, ccfg, corpus, loader, root = tiny_setup
+
+    # uninterrupted: 2 epochs
+    t_a = _trainer(cfg, loader, device_corpus=True)
+    t_a.run(2)
+
+    # same run with an interval saver (every 2 iterations)
+    ckpt_dir = str(tmp_path / "ckpts")
+    t_b = _trainer(cfg, loader, device_corpus=True)
+    manager = CheckpointManager(ckpt_dir, keep_old=True)
+    t_b.register_plugin(SaverPlugin(manager, every_n_iterations=2))
+    t_b.run(1)   # epoch 1 with mid-epoch saves
+    saves = sorted(p for p in os.listdir(ckpt_dir) if p.endswith(".npz"))
+    assert len(saves) > 1
+    # resume a FRESH trainer from a mid-epoch save inside epoch 1
+    mid = os.path.join(ckpt_dir, saves[0])
+    t_c = _trainer(cfg, loader, device_corpus=True)
+    state, meta = load_checkpoint(mid, t_c.checkpoint_state())
+    t_c.restore(state, meta)
+    assert t_c.start_chunk > 0   # genuinely mid-epoch
+    t_c.run(2)
+    for a, b in zip(jax.tree_util.tree_leaves(t_a.params),
+                    jax.tree_util.tree_leaves(t_c.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
