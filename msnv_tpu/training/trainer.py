@@ -40,8 +40,10 @@ class Trainer:
         self.plugins = []
         self.compute_dtype = compute_dtype
         self.device_corpus = device_corpus
+        self.scan_block = 16          # chunks per multi-step executable
         self._corpus_dev = None       # device-resident packed corpus
         self._step_indexed = None
+        self._train_scan = None
         self._eval_dev = {}           # id(loader) -> (corpus_dev, step)
 
         self.is_gan = cfg.model.variant == "gan"
@@ -81,9 +83,17 @@ class Trainer:
         # the ~MB/step host->device chunk upload, the dominant wall-clock
         # cost on hosts with slow accelerator interconnect.
         if mesh is None and self._want_device_corpus(loader):
-            from msnv_tpu.training.step import make_train_step_indexed
+            from msnv_tpu.training.step import (make_train_block_scan,
+                                                make_train_step_indexed)
             self._corpus_dev = loader.device_arrays()
             self._step_indexed = make_train_step_indexed(
+                cfg.model, optimizer, cfg.train.seq_len,
+                loader.overlap_len, loader.cond_in_seq,
+                compute_dtype=compute_dtype)
+            # multi-step executable: one dispatch + one loss fetch per
+            # scan_block chunks (the per-step path stays for runs with
+            # mid-epoch interval savers)
+            self._train_scan = make_train_block_scan(
                 cfg.model, optimizer, cfg.train.seq_len,
                 loader.overlap_len, loader.cond_in_seq,
                 compute_dtype=compute_dtype)
@@ -146,18 +156,26 @@ class Trainer:
         of stalling it."""
         pipelined = self._pipelining_allowed()
         pending = None
-        if self._step_indexed is not None:
+        if self._step_indexed is not None and pipelined:
+            # multi-step executables: scan_block chunks per dispatch, one
+            # loss-vector fetch per block
+            ks = np.arange(start_chunk, len(self.loader), dtype=np.int32)
+            for i in range(0, len(ks), self.scan_block):
+                blk = ks[i:i + self.scan_block]
+                (self.params, self.opt_state, self.state,
+                 losses) = self._train_scan(
+                    self.params, self.opt_state, self.state,
+                    self._corpus_dev, jnp.asarray(blk))
+                for k, loss in zip(blk, np.asarray(losses)):
+                    self._flush_iteration(int(k), loss)
+        elif self._step_indexed is not None:
+            # interval savers need per-step state visibility
             for k in range(start_chunk, len(self.loader)):
                 (self.params, self.opt_state, self.state,
                  loss) = self._step_indexed(
                     self.params, self.opt_state, self.state,
                     self._corpus_dev, np.int32(k))
-                if pending is not None:
-                    self._flush_iteration(*pending)
-                if pipelined:
-                    pending = (k, loss)
-                else:
-                    self._flush_iteration(k, loss)
+                self._flush_iteration(k, loss)
         else:
             for chunk in self.loader.epoch(start_chunk=start_chunk):
                 loss = self.train_chunk(chunk)
@@ -200,17 +218,23 @@ class Trainer:
                 and self._want_device_corpus(loader):
             key = id(loader)
             if key not in self._eval_dev:
-                from msnv_tpu.training.step import make_eval_step_indexed
+                from msnv_tpu.training.step import make_eval_block_scan
                 self._eval_dev[key] = (
                     loader.device_arrays(),
-                    make_eval_step_indexed(
+                    make_eval_block_scan(
                         self.cfg.model, self.cfg.train.seq_len,
                         loader.overlap_len, loader.cond_in_seq))
-            corpus_dev, eval_step = self._eval_dev[key]
-            for k in range(len(loader)):
-                loss, state = eval_step(self.params, state, corpus_dev,
-                                        np.int32(k))
-                losses.append(loss)
+            corpus_dev, eval_scan = self._eval_dev[key]
+            ks = np.arange(len(loader), dtype=np.int32)
+            blocks = []
+            for i in range(0, len(ks), self.scan_block):
+                blk = ks[i:i + self.scan_block]
+                blk_losses, state = eval_scan(self.params, state,
+                                              corpus_dev, jnp.asarray(blk))
+                blocks.append(blk_losses)
+            if not blocks:
+                return 0.0
+            return float(jnp.concatenate(blocks).mean())
         else:
             for chunk in loader.epoch():
                 loss, state = self._eval(
