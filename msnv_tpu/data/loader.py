@@ -92,22 +92,29 @@ class ChunkLoader:
         return (self._qdata.size * 4 + self.corpus.cond.size * 4
                 + self.num_chunks * self._qdata.shape[0] * 4)
 
-    def device_arrays(self):
+    def device_arrays(self, shardings: Optional[dict] = None):
         """Upload the packed corpus ONCE; training/eval steps then slice
         per-chunk tensors in-jit by chunk index
         (training/step.chunk_slices) — zero per-step host->device
         traffic. The majority-speaker labels are precomputed host-side
-        into a (num_chunks, B) table (bincount is not worth porting)."""
+        into a (num_chunks, B) table (bincount is not worth porting).
+        `shardings` (parallel/mesh.corpus_sharding) places the lanes
+        across a device mesh instead of one device."""
+        import jax
         import jax.numpy as jnp
         spk_table = (np.stack([self.chunk_spk(k)
                                for k in range(self.num_chunks)])
                      if self.num_chunks else
                      np.zeros((0, self._qdata.shape[0]), np.int32))
-        return {
-            "qdata": jnp.asarray(self._qdata.astype(np.int32)),
-            "cond": jnp.asarray(self.corpus.cond.astype(np.float32)),
-            "spk": jnp.asarray(spk_table),
+        host = {
+            "qdata": self._qdata.astype(np.int32),
+            "cond": self.corpus.cond.astype(np.float32),
+            "spk": spk_table,
         }
+        if shardings is None:
+            return {k: jnp.asarray(v) for k, v in host.items()}
+        return {k: jax.device_put(v, shardings[k])
+                for k, v in host.items()}
 
     def epoch(self, start_chunk: int = 0) -> Iterator[Chunk]:
         """Iterate chunks in order; `start_chunk` supports mid-epoch resume."""

@@ -48,6 +48,18 @@ def state_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, "data"))
 
 
+def corpus_sharding(mesh: Mesh) -> dict:
+    """Shardings for a device-resident packed corpus
+    (data/loader.device_arrays): lanes over 'data' — the lane<->replica
+    assignment is static for the whole epoch, as TBPTT state carry
+    requires. The per-chunk speaker table is (num_chunks, B)."""
+    return {
+        "qdata": batch_sharding(mesh),
+        "cond": batch_sharding(mesh),
+        "spk": NamedSharding(mesh, P(None, "data")),
+    }
+
+
 def param_sharding(mesh: Mesh, params):
     """Sharding pytree for model params.
 

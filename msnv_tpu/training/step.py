@@ -107,7 +107,7 @@ def make_train_step_indexed(cfg: ModelConfig, optimizer, seq_len: int,
 
 def make_train_block_scan(cfg: ModelConfig, optimizer, seq_len: int,
                           overlap_len: int, cond_in_seq: int,
-                          donate=True, compute_dtype=None):
+                          mesh=None, donate=True, compute_dtype=None):
     """Multi-step train executable over a device-resident corpus:
 
     run_block(params, opt_state, state, corpus, ks (B,))
@@ -118,6 +118,10 @@ def make_train_block_scan(cfg: ModelConfig, optimizer, seq_len: int,
     what actually closes the gap to the compiled step time when the host
     sits behind a high-latency accelerator link. Numerically identical to
     B sequential indexed steps (same slices, same math, same order).
+
+    With a mesh, returns a builder(params_t, opt_t, state_t) like
+    make_train_step: corpus lanes sharded over 'data'
+    (parallel/mesh.corpus_sharding), indices replicated.
     """
     core = _make_step_core(cfg, optimizer, compute_dtype)
 
@@ -135,11 +139,30 @@ def make_train_block_scan(cfg: ModelConfig, optimizer, seq_len: int,
         return params, opt_state, state, losses
 
     kwargs = {"donate_argnums": (0, 1, 2)} if donate else {}
-    return jax.jit(run_block, **kwargs)
+    if mesh is None:
+        return jax.jit(run_block, **kwargs)
+
+    from msnv_tpu.parallel.mesh import corpus_sharding
+    c_sh = corpus_sharding(mesh)
+    st = state_sharding(mesh)
+    rep = replicated(mesh)
+
+    def jit_with_shardings(params_template, opt_template, state_template):
+        p_sh = param_sharding(mesh, params_template)
+        o_sh = jax.tree_util.tree_map(lambda _: rep, opt_template)
+        s_sh = [st for _ in state_template]
+        return jax.jit(
+            run_block,
+            in_shardings=(p_sh, o_sh, s_sh, c_sh, rep),
+            out_shardings=(p_sh, o_sh, s_sh, rep),
+            **kwargs,
+        )
+
+    return jit_with_shardings
 
 
 def make_eval_block_scan(cfg: ModelConfig, seq_len: int, overlap_len: int,
-                         cond_in_seq: int):
+                         cond_in_seq: int, mesh=None):
     """Multi-step eval executable over a device-resident corpus."""
 
     def run_block(params, state, corpus, ks):
@@ -154,7 +177,22 @@ def make_eval_block_scan(cfg: ModelConfig, seq_len: int, overlap_len: int,
         state, losses = jax.lax.scan(body, state, ks)
         return losses, state
 
-    return jax.jit(run_block)
+    if mesh is None:
+        return jax.jit(run_block)
+
+    from msnv_tpu.parallel.mesh import corpus_sharding
+    c_sh = corpus_sharding(mesh)
+    st = state_sharding(mesh)
+    rep = replicated(mesh)
+
+    def jit_with_shardings(params_template, state_template):
+        p_sh = param_sharding(mesh, params_template)
+        s_sh = [st for _ in state_template]
+        return jax.jit(run_block,
+                       in_shardings=(p_sh, s_sh, c_sh, rep),
+                       out_shardings=(rep, s_sh))
+
+    return jit_with_shardings
 
 
 def make_eval_step_indexed(cfg: ModelConfig, seq_len: int,

@@ -82,21 +82,32 @@ class Trainer:
         # chunks in-jit by index (training/step.chunk_slices) — removes
         # the ~MB/step host->device chunk upload, the dominant wall-clock
         # cost on hosts with slow accelerator interconnect.
-        if mesh is None and self._want_device_corpus(loader):
+        if self._want_device_corpus(loader):
             from msnv_tpu.training.step import (make_train_block_scan,
                                                 make_train_step_indexed)
-            self._corpus_dev = loader.device_arrays()
-            self._step_indexed = make_train_step_indexed(
-                cfg.model, optimizer, cfg.train.seq_len,
-                loader.overlap_len, loader.cond_in_seq,
-                compute_dtype=compute_dtype)
+            if mesh is None:
+                self._corpus_dev = loader.device_arrays()
+                self._step_indexed = make_train_step_indexed(
+                    cfg.model, optimizer, cfg.train.seq_len,
+                    loader.overlap_len, loader.cond_in_seq,
+                    compute_dtype=compute_dtype)
+            else:
+                # lanes sharded over 'data' (static lane<->replica
+                # assignment, as TBPTT state carry requires)
+                from msnv_tpu.parallel.mesh import corpus_sharding
+                self._corpus_dev = loader.device_arrays(
+                    shardings=corpus_sharding(mesh))
+                self._step_indexed = None  # block scan only
             # multi-step executable: one dispatch + one loss fetch per
             # scan_block chunks (the per-step path stays for runs with
             # mid-epoch interval savers)
-            self._train_scan = make_train_block_scan(
+            scan_builder = make_train_block_scan(
                 cfg.model, optimizer, cfg.train.seq_len,
-                loader.overlap_len, loader.cond_in_seq,
+                loader.overlap_len, loader.cond_in_seq, mesh=mesh,
                 compute_dtype=compute_dtype)
+            self._train_scan = (
+                scan_builder if mesh is None else
+                scan_builder(self.params, self.opt_state, self.state))
 
     def _want_device_corpus(self, loader) -> bool:
         if self.device_corpus in (False, "false"):
@@ -156,7 +167,7 @@ class Trainer:
         of stalling it."""
         pipelined = self._pipelining_allowed()
         pending = None
-        if self._step_indexed is not None and pipelined:
+        if self._train_scan is not None and pipelined:
             # multi-step executables: scan_block chunks per dispatch, one
             # loss-vector fetch per block
             ks = np.arange(start_chunk, len(self.loader), dtype=np.int32)
@@ -169,7 +180,8 @@ class Trainer:
                 for k, loss in zip(blk, np.asarray(losses)):
                     self._flush_iteration(int(k), loss)
         elif self._step_indexed is not None:
-            # interval savers need per-step state visibility
+            # interval savers need per-step state visibility (mesh runs
+            # with interval savers use the host-sliced loop below)
             for k in range(start_chunk, len(self.loader)):
                 (self.params, self.opt_state, self.state,
                  loss) = self._step_indexed(
@@ -214,16 +226,25 @@ class Trainer:
         training does."""
         state = init_tier_state(self.cfg.model, loader._qdata.shape[0])
         losses = []
-        if self._step_indexed is not None \
+        if self._corpus_dev is not None \
                 and self._want_device_corpus(loader):
             key = id(loader)
             if key not in self._eval_dev:
                 from msnv_tpu.training.step import make_eval_block_scan
-                self._eval_dev[key] = (
-                    loader.device_arrays(),
-                    make_eval_block_scan(
+                if self.mesh is None:
+                    corpus_dev = loader.device_arrays()
+                    eval_scan = make_eval_block_scan(
                         self.cfg.model, self.cfg.train.seq_len,
-                        loader.overlap_len, loader.cond_in_seq))
+                        loader.overlap_len, loader.cond_in_seq)
+                else:
+                    from msnv_tpu.parallel.mesh import corpus_sharding
+                    corpus_dev = loader.device_arrays(
+                        shardings=corpus_sharding(self.mesh))
+                    eval_scan = make_eval_block_scan(
+                        self.cfg.model, self.cfg.train.seq_len,
+                        loader.overlap_len, loader.cond_in_seq,
+                        mesh=self.mesh)(self.params, state)
+                self._eval_dev[key] = (corpus_dev, eval_scan)
             corpus_dev, eval_scan = self._eval_dev[key]
             ks = np.arange(len(loader), dtype=np.int32)
             blocks = []

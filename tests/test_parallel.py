@@ -162,3 +162,71 @@ def test_multihost_simulation():
     out = subprocess.run([sys.executable, script], capture_output=True,
                          text=True, timeout=500)
     assert "multihost simulation PASSED" in out.stdout, out.stdout
+
+
+def test_device_corpus_block_scan_sharded_matches_single():
+    """Device-resident corpus + block-scan training over a mesh must match
+    single-device device-corpus training (lanes sharded over 'data')."""
+    import os
+    from msnv_tpu.config import DataConfig, ExperimentConfig
+    from msnv_tpu.data.corpus import CorpusConfig, build_corpus
+    from msnv_tpu.data.loader import ChunkLoader
+    from msnv_tpu.data.synthetic import make_synthetic_corpus
+    from msnv_tpu.training.trainer import Trainer
+    import tempfile
+
+    root = tempfile.mkdtemp()
+    make_synthetic_corpus(root, n_speakers=2, utts_per_speaker=2,
+                          frames_per_utt=340, cond_len=16,
+                          partitions=("train",))
+    ccfg = CorpusConfig(
+        datasets_path=root, wav_path=os.path.join(root, "wav"),
+        cond_path=os.path.join(root, "cond"), overlap_len=16, seq_len=64,
+        batch_size=8, cond_len=16, norm_ind=False,
+        cache_dir=os.path.join(root, "npy"))
+    corpus = build_corpus(ccfg, "train")
+    loader = ChunkLoader(corpus, 64, 16, 16)
+    cfg = ExperimentConfig(
+        exp="meshdev",
+        model=ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=32, cond_dim=43,
+                          cond_len=16, spk_dim=2),
+        train=TrainConfig(seq_len=64, batch_size=8, learning_rate=2e-3))
+
+    def run(mesh):
+        params = init_params(jax.random.PRNGKey(0), cfg.model)
+        t = Trainer(cfg, params, make_optimizer(cfg.train), loader,
+                    mesh=mesh, device_corpus=True)
+        assert t._train_scan is not None
+        losses = []
+
+        class Cap:
+            def register(self, tr):
+                pass
+
+            def iteration(self, loss):
+                losses.append(loss)
+
+            def epoch(self, e):
+                pass
+
+        t.register_plugin(Cap())
+        t.run(1)
+        return t, losses
+
+    t_single, l_single = run(None)
+    for n_data, n_model in [(8, 1), (4, 2)]:
+        t_mesh, l_mesh = run(make_mesh(n_data=n_data, n_model=n_model))
+        # first steps: tight; the full 39-step trajectory accumulates
+        # psum-reduction-order drift (~1e-2 by the end — inherent FP,
+        # same as any DP vs single-device comparison)
+        np.testing.assert_allclose(l_mesh[:5], l_single[:5], atol=1e-3)
+        np.testing.assert_allclose(l_mesh, l_single, atol=5e-2)
+        # 39 Adam steps amplify reduction-order noise (~1e-4/step) into
+        # per-element drift; the [:5] check above is the correctness gate
+        for a, b in zip(jax.tree_util.tree_leaves(t_single.params),
+                        jax.tree_util.tree_leaves(t_mesh.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=8e-2)
+        # sharded evaluation over the device corpus agrees too
+        assert t_mesh.evaluate(loader) == pytest.approx(
+            t_single.evaluate(loader), abs=2e-2)
