@@ -214,7 +214,7 @@ def main(argv=None):
     trainer = Trainer(cfg, params, optimizer, loader, mesh=mesh,
                       compute_dtype=jnp.bfloat16 if args.bf16 else None,
                       device_corpus=args.device_corpus)
-    if trainer._step_indexed is not None:
+    if trainer._corpus_dev is not None:
         print(f"device-resident corpus: "
               f"{loader.device_bytes() / 1e6:.0f} MB in HBM")
 

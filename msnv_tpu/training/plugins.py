@@ -27,6 +27,10 @@ import numpy as np
 class Plugin:
     #: list of (interval, event) pairs; event in {"iteration", "epoch"}
     schedule = ()
+    #: True when iteration() reads trainer params/state/cursor and needs
+    #: them EXACTLY as of that iteration — disables the trainer's
+    #: loss-fetch pipelining and block scanning for the run
+    needs_sync_state = False
 
     def register(self, trainer):
         self.trainer = trainer
@@ -117,6 +121,8 @@ class SaverPlugin(Plugin):
     def __init__(self, manager, every_n_iterations: int = 0):
         self.manager = manager
         self.every_n_iterations = every_n_iterations
+        # mid-epoch saves snapshot trainer state per iteration
+        self.needs_sync_state = bool(every_n_iterations)
 
     def iteration(self, loss: float):
         t = self.trainer

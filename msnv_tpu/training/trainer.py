@@ -44,7 +44,8 @@ class Trainer:
         self._corpus_dev = None       # device-resident packed corpus
         self._step_indexed = None
         self._train_scan = None
-        self._eval_dev = {}           # id(loader) -> (corpus_dev, step)
+        self._eval_dev = {}           # loader -> (corpus_dev, eval_scan)
+        self._eval_step_indexed = {}  # geometry -> per-step eval fn
 
         self.is_gan = cfg.model.variant == "gan"
         if self.is_gan:
@@ -85,11 +86,15 @@ class Trainer:
         if self._want_device_corpus(loader):
             from msnv_tpu.training.step import (make_train_block_scan,
                                                 make_train_step_indexed)
+            # window geometry comes from the LOADER (its seq_len/overlap
+            # define the windows get_chunk would produce), never from the
+            # train config — they agree in the CLI but the API allows any
+            # loader
+            geo = (loader.seq_len, loader.overlap_len, loader.cond_in_seq)
             if mesh is None:
                 self._corpus_dev = loader.device_arrays()
                 self._step_indexed = make_train_step_indexed(
-                    cfg.model, optimizer, cfg.train.seq_len,
-                    loader.overlap_len, loader.cond_in_seq,
+                    cfg.model, optimizer, *geo,
                     compute_dtype=compute_dtype)
             else:
                 # lanes sharded over 'data' (static lane<->replica
@@ -102,8 +107,7 @@ class Trainer:
             # scan_block chunks (the per-step path stays for runs with
             # mid-epoch interval savers)
             scan_builder = make_train_block_scan(
-                cfg.model, optimizer, cfg.train.seq_len,
-                loader.overlap_len, loader.cond_in_seq, mesh=mesh,
+                cfg.model, optimizer, *geo, mesh=mesh,
                 compute_dtype=compute_dtype)
             self._train_scan = (
                 scan_builder if mesh is None else
@@ -151,13 +155,13 @@ class Trainer:
         return loss
 
     def _pipelining_allowed(self) -> bool:
-        """Loss-fetch pipelining dispatches step k+1 before step k's
-        plugins run, so any plugin that snapshots trainer state
-        mid-epoch (an interval-saving SaverPlugin) would capture
-        one-step-ahead state — and the donated step invalidates older
-        buffers anyway. Those runs flush synchronously instead."""
-        from msnv_tpu.training.plugins import SaverPlugin
-        return not any(isinstance(p, SaverPlugin) and p.every_n_iterations
+        """Loss-fetch pipelining (and block scanning) runs a plugin's
+        iteration(k) callback AFTER later steps were dispatched, so any
+        plugin that snapshots trainer params/state per iteration would
+        capture future state. Plugins declare that need via
+        `needs_sync_state` (Plugin base attr; SaverPlugin sets it when
+        interval-saving) and force the synchronous per-step loop."""
+        return not any(getattr(p, "needs_sync_state", False)
                        for p in self.plugins)
 
     def train_epoch(self, start_chunk: int = 0):
@@ -169,15 +173,33 @@ class Trainer:
         pending = None
         if self._train_scan is not None and pipelined:
             # multi-step executables: scan_block chunks per dispatch, one
-            # loss-vector fetch per block
+            # loss-vector fetch per block. The trailing partial block runs
+            # through the per-step executable (one compile serves every
+            # remainder size); mesh runs scan it (one extra executable).
             ks = np.arange(start_chunk, len(self.loader), dtype=np.int32)
-            for i in range(0, len(ks), self.scan_block):
+            n_full = (len(ks) // self.scan_block) * self.scan_block
+            for i in range(0, n_full, self.scan_block):
                 blk = ks[i:i + self.scan_block]
                 (self.params, self.opt_state, self.state,
                  losses) = self._train_scan(
                     self.params, self.opt_state, self.state,
                     self._corpus_dev, jnp.asarray(blk))
                 for k, loss in zip(blk, np.asarray(losses)):
+                    self._flush_iteration(int(k), loss)
+            rest = ks[n_full:]
+            if len(rest) and self._step_indexed is not None:
+                for k in rest:
+                    (self.params, self.opt_state, self.state,
+                     loss) = self._step_indexed(
+                        self.params, self.opt_state, self.state,
+                        self._corpus_dev, np.int32(k))
+                    self._flush_iteration(int(k), loss)
+            elif len(rest):
+                (self.params, self.opt_state, self.state,
+                 losses) = self._train_scan(
+                    self.params, self.opt_state, self.state,
+                    self._corpus_dev, jnp.asarray(rest))
+                for k, loss in zip(rest, np.asarray(losses)):
                     self._flush_iteration(int(k), loss)
         elif self._step_indexed is not None:
             # interval savers need per-step state visibility (mesh runs
@@ -228,30 +250,54 @@ class Trainer:
         losses = []
         if self._corpus_dev is not None \
                 and self._want_device_corpus(loader):
-            key = id(loader)
-            if key not in self._eval_dev:
+            # keyed by the loader OBJECT (a held reference — id() reuse
+            # after GC must not alias corpora); the training loader
+            # reuses the already-resident corpus
+            if loader not in self._eval_dev:
                 from msnv_tpu.training.step import make_eval_block_scan
+                geo = (loader.seq_len, loader.overlap_len,
+                       loader.cond_in_seq)
                 if self.mesh is None:
-                    corpus_dev = loader.device_arrays()
-                    eval_scan = make_eval_block_scan(
-                        self.cfg.model, self.cfg.train.seq_len,
-                        loader.overlap_len, loader.cond_in_seq)
+                    corpus_dev = (self._corpus_dev
+                                  if loader is self.loader else
+                                  loader.device_arrays())
+                    eval_scan = make_eval_block_scan(self.cfg.model, *geo)
                 else:
                     from msnv_tpu.parallel.mesh import corpus_sharding
-                    corpus_dev = loader.device_arrays(
-                        shardings=corpus_sharding(self.mesh))
+                    corpus_dev = (self._corpus_dev
+                                  if loader is self.loader else
+                                  loader.device_arrays(
+                                      shardings=corpus_sharding(self.mesh)))
                     eval_scan = make_eval_block_scan(
-                        self.cfg.model, self.cfg.train.seq_len,
-                        loader.overlap_len, loader.cond_in_seq,
+                        self.cfg.model, *geo,
                         mesh=self.mesh)(self.params, state)
-                self._eval_dev[key] = (corpus_dev, eval_scan)
-            corpus_dev, eval_scan = self._eval_dev[key]
+                self._eval_dev[loader] = (corpus_dev, eval_scan)
+            corpus_dev, eval_scan = self._eval_dev[loader]
             ks = np.arange(len(loader), dtype=np.int32)
+            n_full = (len(ks) // self.scan_block) * self.scan_block
             blocks = []
-            for i in range(0, len(ks), self.scan_block):
+            for i in range(0, n_full, self.scan_block):
                 blk = ks[i:i + self.scan_block]
                 blk_losses, state = eval_scan(self.params, state,
                                               corpus_dev, jnp.asarray(blk))
+                blocks.append(blk_losses)
+            rest = ks[n_full:]
+            if len(rest) and self.mesh is None:
+                # one per-step executable serves every remainder size
+                geo = (loader.seq_len, loader.overlap_len,
+                       loader.cond_in_seq)
+                if geo not in self._eval_step_indexed:
+                    from msnv_tpu.training.step import make_eval_step_indexed
+                    self._eval_step_indexed[geo] = make_eval_step_indexed(
+                        self.cfg.model, *geo)
+                eval_step = self._eval_step_indexed[geo]
+                for k in rest:
+                    loss, state = eval_step(self.params, state, corpus_dev,
+                                            np.int32(k))
+                    blocks.append(loss[None])
+            elif len(rest):
+                blk_losses, state = eval_scan(self.params, state,
+                                              corpus_dev, jnp.asarray(rest))
                 blocks.append(blk_losses)
             if not blocks:
                 return 0.0
