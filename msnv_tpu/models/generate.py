@@ -128,13 +128,17 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
                          "(greedy decoding runs on the XLA path)")
     fs0 = cfg.frame_sizes[0]
     q = cfg.q_levels
-    inv_t = 1.0 / temperature
     table = fused_table.reshape(fs0 * q, cfg.dim)
     wh = dense_weight(params["mlp"]["hidden"]).T
     bh = params["mlp"]["hidden"]["b"].astype(jnp.float32)[None, :]
-    wo = (dense_weight(params["mlp"]["out"]).T
-          * inv_t).astype(table.dtype)
-    bo = (params["mlp"]["out"]["b"].astype(jnp.float32) * inv_t)[None, :]
+    wo = dense_weight(params["mlp"]["out"]).T
+    bo = params["mlp"]["out"]["b"].astype(jnp.float32)
+    if temperature != 1.0:   # T==1 keeps the HLO byte-identical (compile
+        inv_t = 1.0 / temperature             # cache stays valid)
+        wo = wo * inv_t
+        bo = bo * inv_t
+    wo = wo.astype(table.dtype)
+    bo = bo[None, :]
 
     interp = pallas_opts.get("interpret", False)
     tile_b = pallas_opts.get("tile_b", 64)
