@@ -186,6 +186,30 @@ class VocoderService:
             audio = self._run_group(gkey, [item])[0]
         return wav_bytes(audio, SAMPLE_RATE)
 
+    def warm(self, frames: int, temperature=None, lanes=None) -> None:
+        """Pre-compile the /synthesize executables for a conditioner
+        length (rounded up to the frame bucket) and each power-of-two
+        lane count up to max_batch — dynamic batching otherwise pays a
+        full generation-graph compile the first time a new live batch
+        size appears under load."""
+        temperature = (self.temperature_default if temperature is None
+                       else float(temperature))
+        padded = -(-frames // self.frame_bucket) * self.frame_bucket
+        if lanes is None:
+            mb = self._batcher.max_batch if self._batcher else 1
+            lanes, b = [], 1
+            while b <= mb:
+                lanes.append(b)
+                b *= 2
+        import jax.numpy as jnp
+        cond = jnp.zeros((padded, self.cfg.effective_cond_dim), jnp.float32)
+        spk = jnp.zeros((1,), jnp.int32)
+        gkey = (padded, temperature, "i")
+        for b in lanes:
+            items = [{"cond": cond, "spk": spk, "seed": 0, "n": frames}
+                     for _ in range(b)]
+            self._run_group(gkey, items)
+
     def _run_group(self, gkey, items) -> list:
         """ONE device call for a group of same-shape requests; returns the
         per-request float audio (trimmed to each request's frames)."""

@@ -245,3 +245,23 @@ def test_callable_cache_is_bounded():
         service.synthesize({"cond": _cond(4), "spk": 0,
                             "temperature": 0.5 + 0.01 * i})
     assert len(service._gen_cache) <= service.MAX_CACHED_CALLABLES
+
+
+def test_warm_precompiles_lane_buckets():
+    from msnv_tpu.serving import VocoderService
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    svc = VocoderService(params, CFG, frame_bucket=4, max_batch=4,
+                         linger_ms=5)
+    svc.warm(frames=6)
+    # buckets 1, 2, 4 each ran one device call
+    assert svc._batcher.batch_sizes == []  # warm bypasses the batcher
+    # a subsequent batched burst reuses the compiled graphs and succeeds
+    outs = []
+    ts = [threading.Thread(target=lambda i=i: outs.append(
+            svc.synthesize({"cond": _cond(6, seed=i), "spk": i % 3})))
+          for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert len(outs) == 4
