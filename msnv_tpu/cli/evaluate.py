@@ -64,16 +64,45 @@ def main(argv=None):
         loader = ChunkLoader(corpus, cfg.train.seq_len, m.lookback,
                              m.cond_len, m.q_levels, m.ulaw)
         state_h = init_tier_state(m, loader._qdata.shape[0])
-        total, n = 0.0, 0
-        for chunk in loader.epoch():
-            loss, state_h = eval_step(
-                params, state_h, jnp.asarray(chunk.data),
-                jnp.asarray(chunk.reset), jnp.asarray(chunk.target),
-                jnp.asarray(chunk.cond), jnp.asarray(chunk.spk))
-            b = chunk.data.shape[0]
-            total += float(loss) * b
-            n += b
-        nll = total / max(n, 1)
+        if loader.device_bytes() <= 2 << 30:
+            # device-resident corpus + multi-step executables: one
+            # dispatch + one loss fetch per 16 chunks (see
+            # training/step.make_eval_block_scan)
+            from msnv_tpu.training.step import (make_eval_block_scan,
+                                                make_eval_step_indexed)
+            corpus_dev = loader.device_arrays()
+            scan = make_eval_block_scan(m, loader.seq_len,
+                                        loader.overlap_len,
+                                        loader.cond_in_seq)
+            ks = np.arange(len(loader), dtype=np.int32)
+            block = 16
+            n_full = (len(ks) // block) * block
+            losses = []
+            for i in range(0, n_full, block):
+                blk_losses, state_h = scan(params, state_h, corpus_dev,
+                                           jnp.asarray(ks[i:i + block]))
+                losses.append(blk_losses)
+            if n_full < len(ks):
+                step_i = make_eval_step_indexed(m, loader.seq_len,
+                                                loader.overlap_len,
+                                                loader.cond_in_seq)
+                for k in ks[n_full:]:
+                    loss, state_h = step_i(params, state_h, corpus_dev,
+                                           np.int32(k))
+                    losses.append(loss[None])
+            nll = (float(jnp.concatenate(losses).mean()) if losses
+                   else 0.0)
+        else:
+            total, n = 0.0, 0
+            for chunk in loader.epoch():
+                loss, state_h = eval_step(
+                    params, state_h, jnp.asarray(chunk.data),
+                    jnp.asarray(chunk.reset), jnp.asarray(chunk.target),
+                    jnp.asarray(chunk.cond), jnp.asarray(chunk.spk))
+                b = chunk.data.shape[0]
+                total += float(loss) * b
+                n += b
+            nll = total / max(n, 1)
         out[part] = {"nll_bits": nll, "perplexity": 2.0 ** nll,
                      "chunks": len(loader)}
         print(f"{part}: NLL {nll:.4f} bits, perplexity {2.0**nll:.2f}")
