@@ -64,34 +64,13 @@ def main(argv=None):
         loader = ChunkLoader(corpus, cfg.train.seq_len, m.lookback,
                              m.cond_len, m.q_levels, m.ulaw)
         state_h = init_tier_state(m, loader._qdata.shape[0])
-        if loader.device_bytes() <= 2 << 30:
+        from msnv_tpu.training.trainer import Trainer
+        if loader.device_bytes() <= Trainer.DEVICE_CORPUS_MAX_BYTES:
             # device-resident corpus + multi-step executables: one
-            # dispatch + one loss fetch per 16 chunks (see
-            # training/step.make_eval_block_scan)
-            from msnv_tpu.training.step import (make_eval_block_scan,
-                                                make_eval_step_indexed)
-            corpus_dev = loader.device_arrays()
-            scan = make_eval_block_scan(m, loader.seq_len,
-                                        loader.overlap_len,
-                                        loader.cond_in_seq)
-            ks = np.arange(len(loader), dtype=np.int32)
-            block = 16
-            n_full = (len(ks) // block) * block
-            losses = []
-            for i in range(0, n_full, block):
-                blk_losses, state_h = scan(params, state_h, corpus_dev,
-                                           jnp.asarray(ks[i:i + block]))
-                losses.append(blk_losses)
-            if n_full < len(ks):
-                step_i = make_eval_step_indexed(m, loader.seq_len,
-                                                loader.overlap_len,
-                                                loader.cond_in_seq)
-                for k in ks[n_full:]:
-                    loss, state_h = step_i(params, state_h, corpus_dev,
-                                           np.int32(k))
-                    losses.append(loss[None])
-            nll = (float(jnp.concatenate(losses).mean()) if losses
-                   else 0.0)
+            # dispatch + one loss fetch per 16 chunks; the uploaded
+            # corpus is released before the next partition uploads
+            from msnv_tpu.training.step import eval_device_corpus
+            nll, state_h = eval_device_corpus(m, params, state_h, loader)
         else:
             total, n = 0.0, 0
             for chunk in loader.epoch():

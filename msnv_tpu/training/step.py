@@ -195,6 +195,34 @@ def make_eval_block_scan(cfg: ModelConfig, seq_len: int, overlap_len: int,
     return jit_with_shardings
 
 
+def eval_device_corpus(cfg: ModelConfig, params, state, loader,
+                       scan_block: int = 16):
+    """One-shot block-scan evaluation over a freshly-uploaded device
+    corpus -> (mean NLL bits, final state). Used by msnv-evaluate;
+    Trainer.evaluate runs the same executables but caches the uploaded
+    corpus and compiled scans across epochs (and handles mesh placement),
+    so it keeps its own driver. The corpus buffers are released when this
+    frame returns."""
+    import numpy as np
+    corpus_dev = loader.device_arrays()
+    geo = (loader.seq_len, loader.overlap_len, loader.cond_in_seq)
+    scan = make_eval_block_scan(cfg, *geo)
+    ks = np.arange(len(loader), dtype=np.int32)
+    n_full = (len(ks) // scan_block) * scan_block
+    losses = []
+    for i in range(0, n_full, scan_block):
+        blk_losses, state = scan(params, state, corpus_dev,
+                                 jnp.asarray(ks[i:i + scan_block]))
+        losses.append(blk_losses)
+    if n_full < len(ks):
+        step_i = make_eval_step_indexed(cfg, *geo)
+        for k in ks[n_full:]:
+            loss, state = step_i(params, state, corpus_dev, np.int32(k))
+            losses.append(loss[None])
+    nll = float(jnp.concatenate(losses).mean()) if losses else 0.0
+    return nll, state
+
+
 def make_eval_step_indexed(cfg: ModelConfig, seq_len: int,
                            overlap_len: int, cond_in_seq: int):
     """Indexed eval step over a device-resident corpus."""
