@@ -165,6 +165,13 @@ def _to_string(value) -> str:
         return "T" if value else "F"
     if isinstance(value, (list, tuple)):
         return ",".join(_to_string(v) for v in value)
+    if isinstance(value, str):
+        # the tag names a SINGLE directory level: a path separator in a
+        # value (e.g. a non-default cond_set "wav/") would silently nest
+        # results/<tag-prefix>/<tag-suffix> and break experiment
+        # enumeration + tag_from_checkpoint_path (latent in ref
+        # train.py:72-85, where default-valued 'cond/' never hit it)
+        return value.replace("/", "+")
     return str(value)
 
 
@@ -206,7 +213,7 @@ def _as_type(value: str, like):
         if len(like):
             return tuple(_as_type(e, like[0]) for e in elems)
         return tuple(int(e) for e in elems)
-    return value
+    return value.replace("+", "/")   # inverse of _to_string's path escape
 
 
 def tag_from_checkpoint_path(path: str) -> str:

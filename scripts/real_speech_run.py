@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Real-speech end-to-end study: train the canonical vocoder on the
+reference's released sample WAVs and score copy-synthesis objectively.
+
+TC-STAR (the reference's training corpus, doc/paper.pdf S3) is private,
+but the reference repo ships 20 real 16 kHz speech recordings — outputs of
+its best checkpoint (samples/best-ep334-it632930_*.wav, SURVEY.md S2.10) —
+covering all 6 speakers (72/73/75/76/79/80, ~127 s total). Those are real
+multi-speaker speech with the exact speaker set, so they make an honest
+(if small) corpus for the one remaining quality item the synthetic
+flagship runs can't cover: does the full pipeline learn REAL speech?
+
+Protocol (everything through the public CLIs, like scripts/flagship_run.py):
+  1. stage the WAVs as <spk>u<idx>.wav under out/datasets_real/wav/ and
+     write wav_{train,validation,test}.list (train = all 20; val/test =
+     the shortest utterance per speaker — with ~2 min of audio this is a
+     capacity/fidelity study, not a generalization claim, and the report
+     says so).
+  2. train the canonical config (frame_sizes 20 4, n_rnn 2, dim 1024,
+     seq_len 1040, look-ahead, per-speaker normalization) with the
+     Ahocoder-free log-mel conditioning (data/mel.py) — Ahocoder itself
+     is an external binary not present here.
+  3. copy-synthesize the longest utterance of each speaker conditioned on
+     the natural recording's mel track, and score MCD dB / YIN F0 RMSE /
+     V-UV error vs the natural recording (eval/metrics.py), plus a
+     per-speaker F0-ranking Spearman (generated vs natural median F0).
+
+PASS = per-speaker median-F0 rank correlation >= 0.8 and finite MCD on
+every speaker. Writes out/real_speech_report.json and copies the
+generated WAVs to samples/real_speech_*.wav.
+
+Usage:
+  python scripts/real_speech_run.py --epochs 150 --out real_speech_out
+  python scripts/real_speech_run.py --tiny     # CPU smoke (~2 min)
+"""
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def spearman(a, b):
+    ra = np.argsort(np.argsort(a)).astype(float)
+    rb = np.argsort(np.argsort(b)).astype(float)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    return float((ra * rb).sum() / np.sqrt((ra * ra).sum() * (rb * rb).sum()))
+
+
+def stage_corpus(wav_src, data_dir, read_wav, write_wav):
+    """Reference sample WAVs -> <spk>u<idx>.wav + partition lists.
+
+    Returns {spk: [(name, seconds), ...]} sorted by duration."""
+    wav_dir = os.path.join(data_dir, "wav")
+    os.makedirs(wav_dir, exist_ok=True)
+    per_spk = {}
+    for path in sorted(glob.glob(os.path.join(wav_src, "*.wav"))):
+        base = os.path.basename(path)
+        spk = base.split("spk-")[1][:2]
+        idx = len(per_spk.get(spk, []))
+        name = f"{spk}u{idx:03d}"
+        audio, sr = read_wav(path)
+        if sr != 16000:
+            raise SystemExit(f"{base}: expected 16 kHz, got {sr}")
+        # re-encode as PCM16 (sources are float32 WAVs)
+        write_wav(os.path.join(wav_dir, name + ".wav"), audio, sr)
+        per_spk.setdefault(spk, []).append((name, len(audio) / sr))
+    for spk in per_spk:
+        per_spk[spk].sort(key=lambda t: t[1])
+    train = sorted(n for utts in per_spk.values() for n, _ in utts)
+    heldout = sorted(utts[0][0] for utts in per_spk.values())  # shortest/spk
+    for part, names in (("train", train), ("validation", heldout),
+                        ("test", heldout)):
+        with open(os.path.join(data_dir, f"wav_{part}.list"), "w") as f:
+            f.write("\n".join(names) + "\n")
+    return per_spk
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--out", default="real_speech_out")
+    p.add_argument("--wav_src", default="/root/reference/samples")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--tiny", action="store_true",
+                   help="CPU smoke scale (small dim, 2 epochs)")
+    args = p.parse_args()
+
+    import jax
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+    from msnv_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
+
+    from msnv_tpu.cli.generate import main as gen_main
+    from msnv_tpu.cli.train import main as train_main
+    from msnv_tpu.data.wavio import read_wav, write_wav
+
+    out = os.path.abspath(args.out)
+    data_dir = os.path.join(out, "datasets_real")
+    results = os.path.join(out, "results")
+    os.makedirs(out, exist_ok=True)
+
+    per_spk = stage_corpus(args.wav_src, data_dir, read_wav, write_wav)
+    total_s = sum(d for utts in per_spk.values() for _, d in utts)
+    print(f"staged {sum(map(len, per_spk.values()))} utterances, "
+          f"{total_s:.1f}s, speakers {sorted(per_spk)}", flush=True)
+
+    if args.tiny:
+        epochs = 2
+        model_flags = ["--frame_sizes", "4", "4", "--n_rnn", "1",
+                       "--dim", "32", "--seq_len", "80",
+                       "--batch_size", "8", "--learning_rate", "2e-3"]
+    else:
+        epochs = args.epochs
+        model_flags = ["--frame_sizes", "20", "4", "--n_rnn", "2",
+                       "--dim", "1024", "--seq_len", "1040",
+                       "--batch_size", str(args.batch_size),
+                       "--learning_rate", "1e-4", "--bf16", "true"]
+
+    t0 = time.time()
+    cwd = os.getcwd()
+    os.chdir(out)   # npy caches land under out/
+    try:
+        train_main([
+            "--exp", "real-speech",
+            *model_flags,
+            "--cond_len", "80",
+            "--look_ahead", "true", "--norm_ind", "true",
+            "--ulaw", "true",
+            "--cond_source", "mel",
+            "--datasets_path", data_dir,
+            "--dataset", "wav/", "--cond_set", "wav/",
+            "--results_path", results,
+            "--epoch_limit", str(epochs),
+            "--metrics_every", "1" if args.tiny else "25",
+        ])
+    finally:
+        os.chdir(cwd)
+    train_wall = time.time() - t0
+
+    exp_dir = max((os.path.join(results, d) for d in os.listdir(results)),
+                  key=os.path.getmtime)
+    best = sorted(glob.glob(os.path.join(exp_dir, "checkpoints", "best-*")))
+    model_path = best[-1]
+    with open(os.path.join(exp_dir, "stats.json")) as f:
+        stats = json.load(f)
+
+    # copy-synthesis targets: the LONGEST utterance per speaker
+    names = [per_spk[s][-1][0] for s in sorted(per_spk)]
+    gen_cond = os.path.join(out, "generate_cond.list")
+    gen_spk = os.path.join(out, "generate_spk.list")
+    with open(gen_cond, "w") as f:
+        f.write("\n".join(names))
+    with open(gen_spk, "w") as f:
+        f.write("\n".join(str(i) for i in range(len(names))))
+
+    gen_out = os.path.join(out, "gen")
+    shutil.rmtree(gen_out, ignore_errors=True)
+    gen_main([
+        "--model", model_path,
+        "--cond_path", os.path.join(data_dir, "wav"),  # mel from waveforms
+        "--cond_source", "mel",
+        "--cond_list", gen_cond, "--spk_list", gen_spk,
+        "--min_max", os.path.join(data_dir, "npy_datasets",
+                                  "min_max_ind_mel.npy"),
+        "--out_dir", gen_out,
+    ])
+
+    from msnv_tpu.eval.metrics import evaluate_pair, frame_f0
+
+    pair_scores, f0_gen, f0_nat = [], [], []
+    repo_samples = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "samples")
+    for i, name in enumerate(names):
+        (w,) = [f for f in os.listdir(gen_out) if name in f]
+        gen, sr = read_wav(os.path.join(gen_out, w))
+        nat, _ = read_wav(os.path.join(data_dir, "wav", name + ".wav"))
+        n = min(len(gen), len(nat))
+        pair_scores.append(evaluate_pair(nat[:n], gen[:n], sr=sr, hop=80))
+        for audio, acc in ((gen[:n], f0_gen), (nat[:n], f0_nat)):
+            f0, voiced = frame_f0(audio, sr=sr, hop=80)
+            acc.append(float(np.median(f0[voiced])) if voiced.any() else 0.0)
+        if not args.tiny:
+            shutil.copy(os.path.join(gen_out, w),
+                        os.path.join(repo_samples,
+                                     f"real_speech_{name}.wav"))
+    rho_f0 = spearman(np.asarray(f0_gen), np.asarray(f0_nat))
+
+    val = [v for v in stats.get("validation_loss", []) if v is not None]
+    mcds = [s["mcd_db"] for s in pair_scores]
+    report = {
+        "run": "real-speech study: canonical config + mel conditioning on "
+               "the reference's 20 released sample WAVs "
+               "(scripts/real_speech_run.py)",
+        "caveat": "train == eval utterances (127s corpus): a fidelity/"
+                  "capacity study on real speech, not a generalization "
+                  "claim; the source WAVs are themselves outputs of the "
+                  "reference's best checkpoint",
+        "tiny": args.tiny,
+        "epochs": epochs,
+        "corpus_seconds": round(total_s, 1),
+        "train_wall_s": round(train_wall, 1),
+        "final_train_nll_bits": [v for v in stats["training_loss"]
+                                 if v is not None][-1],
+        "val_nll_bits_first_last": [val[0], val[-1]] if val else None,
+        "eval_utterances": names,
+        "natural_median_f0_hz": [round(x, 1) for x in f0_nat],
+        "generated_median_f0_hz": [round(x, 1) for x in f0_gen],
+        "spearman_f0_gen_vs_natural": rho_f0,
+        "copy_synthesis_metrics_mean": {
+            k: round(float(np.mean([s[k] for s in pair_scores
+                                    if np.isfinite(s[k])])), 3)
+            for k in ("mcd_db", "f0_rmse_hz", "vuv_error_rate")
+            if any(np.isfinite(s[k]) for s in pair_scores)},
+        "per_speaker_mcd_db": [round(float(x), 2) for x in mcds],
+        "objective_metrics_trajectory": {
+            k: [round(v, 3) for v in stats[k] if v is not None]
+            for k in ("mcd_db", "f0_rmse_hz", "vuv_error_rate")
+            if k in stats},
+    }
+    with open(os.path.join(out, "real_speech_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+    ok = rho_f0 >= 0.8 and all(np.isfinite(mcds))
+    print("PASS" if ok else
+          f"CHECK: f0 rank {rho_f0:.2f} / mcd finite {np.isfinite(mcds)}")
+    if not ok and not args.tiny:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

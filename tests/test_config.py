@@ -91,3 +91,19 @@ def test_tag_roundtrip_fuzz():
         assert back.train.seed == cfg.train.seed
         assert back.data.norm_ind == cfg.data.norm_ind
         assert back.data.static_spk == cfg.data.static_spk
+
+
+def test_tag_path_values_stay_single_level():
+    """A non-default path-like cond_set/dataset must not put '/' in the
+    tag (it would nest the results dir and break enumeration +
+    tag_from_checkpoint_path); the escape round-trips."""
+    import dataclasses
+    cfg = preset("samplernn")
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, cond_set="wav/",
+                                      dataset="sub/wav/"))
+    tag = make_tag(cfg)
+    assert "/" not in tag, tag
+    back = parse_tag(tag, exp=cfg.exp)
+    assert back.data.cond_set == "wav/"
+    assert back.data.dataset == "sub/wav/"
