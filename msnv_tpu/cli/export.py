@@ -1,0 +1,89 @@
+"""msnv-export: build an AOT generation artifact from a checkpoint.
+
+Serializes lowered generation executables for a set of (lanes, frames)
+buckets into one file (msnv_tpu/export.py) — a deploy artifact that runs
+without retracing (and without re-running the model-building Python).
+The model architecture is re-hydrated from the experiment tag embedded in
+the checkpoint path, the reference's config-store convention
+(ref generate.py:126-129).
+
+Usage:
+  msnv-export --model results/<tag>/checkpoints/best-ep...npz \
+      --out model.msnvx --lanes 1,2,4 --seconds 8 [--engine pallas] \
+      [--temperature 0.7] [--spk_mix]
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--model", required=True,
+                   help="checkpoint under results/<tag>/checkpoints/")
+    p.add_argument("--out", required=True, help="artifact file to write")
+    p.add_argument("--lanes", default="1",
+                   help="comma list of lane (batch) bucket sizes")
+    p.add_argument("--seconds", type=float, default=None,
+                   help="audio seconds per bucket (rounded up to whole "
+                        "conditioner frames)")
+    p.add_argument("--frames", type=int, default=None,
+                   help="conditioner frames per bucket (alternative to "
+                        "--seconds)")
+    p.add_argument("--engine", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute inside the executable")
+    p.add_argument("--spk_mix", action="store_true",
+                   help="float speaker-mixing ABI (eigen-voice) instead "
+                        "of int32 speaker ids")
+    p.add_argument("--platforms", default=None,
+                   help="comma list (e.g. tpu,cpu); default: current "
+                        "backend")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from msnv_tpu.config import parse_tag, tag_from_checkpoint_path
+    from msnv_tpu.export import save_artifact
+    from msnv_tpu.models.samplernn import init_params
+    from msnv_tpu.training.checkpoint import load_any
+
+    if (args.seconds is None) == (args.frames is None):
+        p.error("exactly one of --seconds / --frames is required")
+
+    tag = tag_from_checkpoint_path(args.model)
+    cfg = parse_tag(tag)
+    m = cfg.model
+    if args.frames is not None:
+        n_frames = args.frames
+    else:
+        n_frames = -(-int(args.seconds * 16000) // m.lookback)
+    lanes = [int(x) for x in args.lanes.split(",") if x]
+
+    params = init_params(jax.random.PRNGKey(0), m)
+    state, _meta = load_any(args.model, {"params": params})
+    params = state["params"] if "params" in state else state
+
+    import jax.numpy as jnp
+    manifest = save_artifact(
+        args.out, cfg, [(b, n_frames) for b in lanes],
+        temperature=args.temperature,
+        use_pallas=args.engine == "pallas",
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        spk_mix=args.spk_mix,
+        platforms=args.platforms.split(",") if args.platforms else None,
+        params=params)
+    import json
+    import os
+    print(json.dumps({"artifact": args.out,
+                      "bytes": os.path.getsize(args.out),
+                      "tag": manifest["tag"],
+                      "engine": manifest["engine"],
+                      "platforms": manifest["platforms"],
+                      "buckets": manifest["buckets"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

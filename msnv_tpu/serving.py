@@ -113,9 +113,14 @@ class VocoderService:
     def __init__(self, params, cfg: ModelConfig, temperature_default=1.0,
                  frame_bucket: int = 16, frames_per_push: int = 1,
                  max_batch: int = 1, linger_ms: float = 10.0,
-                 name: str = "msnv"):
+                 name: str = "msnv", artifact=None):
         self.params = params
         self.cfg = cfg
+        # AOT generation artifact (msnv_tpu/export.py): requests whose
+        # (lanes, frames, temperature, spk-kind) hit an exported bucket
+        # run the deserialized executable — no tracing on the serving
+        # host; everything else falls back to the live jit path
+        self.artifact = artifact
         self.temperature_default = float(temperature_default)
         self.frame_bucket = int(frame_bucket)
         self.frames_per_push = int(frames_per_push)
@@ -162,7 +167,9 @@ class VocoderService:
                 "sample_rate": SAMPLE_RATE,
                 "frames_per_push": self.frames_per_push,
                 "max_batch": (self._batcher.max_batch
-                              if self._batcher else 1)}
+                              if self._batcher else 1),
+                "artifact_buckets": (list(self.artifact.buckets)
+                                     if self.artifact else None)}
 
     # -- batch synthesis ---------------------------------------------------
 
@@ -230,6 +237,16 @@ class VocoderService:
         key = jax.random.PRNGKey(items[0]["seed"])
         for it in items[1:]:
             key = jax.random.fold_in(key, it["seed"])
+        art = self.artifact
+        if (art is not None
+                and temperature == art.manifest["temperature"]
+                and art.manifest["spk_mix"] == (_kind == "f")
+                and art.has_bucket(lanes, int(conds.shape[1]))):
+            with self._lock:
+                audio, _ = art.call(self.params, conds, spks, key)
+            audio = np.asarray(audio)
+            return [audio[i, :it["n"] * self.cfg.lookback]
+                    for i, it in enumerate(items)]
         with self._lock:
             if temperature not in self._gen_cache:
                 self._evict(self._gen_cache)
@@ -395,6 +412,10 @@ def main(argv=None):
                         "requests into one device call")
     p.add_argument("--linger_ms", type=float, default=10.0,
                    help="max wait for co-batchable requests")
+    p.add_argument("--artifact", default=None,
+                   help="AOT generation artifact from msnv-export: "
+                        "matching requests run the exported executable "
+                        "(no tracing); others fall back to live jit")
     args = p.parse_args(argv)
 
     tag = os.path.basename(os.path.dirname(os.path.dirname(
@@ -402,12 +423,16 @@ def main(argv=None):
     cfg = parse_tag(tag)
     params = init_params(jax.random.PRNGKey(0), cfg.model)
     state, _ = load_any(args.model, {"params": params})
+    artifact = None
+    if args.artifact:
+        from msnv_tpu.export import load_artifact
+        artifact = load_artifact(args.artifact)
     service = VocoderService(state["params"], cfg.model,
                              temperature_default=args.temperature,
                              frames_per_push=args.frames_per_push,
                              max_batch=args.max_batch,
                              linger_ms=args.linger_ms,
-                             name=tag)
+                             name=tag, artifact=artifact)
     server = make_server(service, args.host, args.port)
     print(f"serving {tag} on http://{args.host}:"
           f"{server.server_address[1]}")

@@ -75,7 +75,16 @@ def stage_corpus(wav_src, data_dir, read_wav, write_wav):
         per_spk.setdefault(spk, []).append((name, len(audio) / sr))
     for spk in per_spk:
         per_spk[spk].sort(key=lambda t: t[1])
-    train = sorted(n for utts in per_spk.values() for n, _ in utts)
+    # round-robin across speakers: lane packing truncates the TAIL of the
+    # concatenated stream (ref dataset.py:143-163), and a speaker-blocked
+    # list would drop the last speakers entirely (norm_ind needs every
+    # speaker to survive truncation)
+    train, rank = [], 0
+    while any(rank < len(utts) for utts in per_spk.values()):
+        for spk in sorted(per_spk):
+            if rank < len(per_spk[spk]):
+                train.append(per_spk[spk][rank][0])
+        rank += 1
     heldout = sorted(utts[0][0] for utts in per_spk.values())  # shortest/spk
     for part, names in (("train", train), ("validation", heldout),
                         ("test", heldout)):
@@ -89,7 +98,9 @@ def main():
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--out", default="real_speech_out")
     p.add_argument("--wav_src", default="/root/reference/samples")
-    p.add_argument("--batch_size", type=int, default=32)
+    # 127 s of audio packs into at most ~22 full lanes at seq_len 1040
+    # (corpus.py enforces batch*(seq_len+overlap)*cond_len geometry)
+    p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--tiny", action="store_true",
                    help="CPU smoke scale (small dim, 2 epochs)")
     args = p.parse_args()
@@ -149,8 +160,14 @@ def main():
 
     exp_dir = max((os.path.join(results, d) for d in os.listdir(results)),
                   key=os.path.getmtime)
-    best = sorted(glob.glob(os.path.join(exp_dir, "checkpoints", "best-*")))
-    model_path = best[-1]
+    # best-* needs a validation partition (the 127 s corpus can't pack
+    # one at this batch geometry) — fall back to the newest epoch save
+    ckpts = (sorted(glob.glob(os.path.join(exp_dir, "checkpoints",
+                                           "best-*")))
+             or sorted(glob.glob(os.path.join(exp_dir, "checkpoints",
+                                              "ep*-it*")),
+                       key=os.path.getmtime))
+    model_path = ckpts[-1]
     with open(os.path.join(exp_dir, "stats.json")) as f:
         stats = json.load(f)
 

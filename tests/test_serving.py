@@ -265,3 +265,40 @@ def test_warm_precompiles_lane_buckets():
     for t in ts:
         t.join(timeout=120)
     assert len(outs) == 4
+
+
+def test_artifact_backed_synthesize(tmp_path_factory):
+    """A server holding an AOT artifact (msnv_tpu/export.py) serves
+    /synthesize from the exported executable — byte-identical WAV to the
+    live-jit server for a bucket-matching request — and falls back to
+    live jit for off-bucket shapes."""
+    import os
+    from msnv_tpu.export import load_artifact, save_artifact
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    frames = 8                       # = 2 buckets of frame_bucket=4
+    art_path = os.path.join(tmp_path_factory.mktemp("art"), "t.msnvx")
+    save_artifact(art_path, CFG, [(1, frames)], params=params)
+    artifact = load_artifact(art_path)
+
+    def run(service):
+        srv = make_server(service, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            body = {"cond": _cond(frames, seed=5), "spk": 2, "seed": 9}
+            r = _post(srv.server_address, "/synthesize", body)
+            assert r.status == 200
+            wav = r.read()
+            # off-bucket (frames=4): artifact server must still answer
+            r2 = _post(srv.server_address, "/synthesize",
+                       {"cond": _cond(4, seed=5), "spk": 2, "seed": 9})
+            assert r2.status == 200
+            return wav
+        finally:
+            srv.shutdown()
+
+    with_art = run(VocoderService(params, CFG, frame_bucket=4,
+                                  artifact=artifact, name="art"))
+    live = run(VocoderService(params, CFG, frame_bucket=4, name="live"))
+    assert with_art == live
