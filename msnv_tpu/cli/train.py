@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="call jax.distributed.initialize() for pod slices")
     p.add_argument("--save_every_iterations", type=int, default=0,
                    help="mid-epoch checkpoint interval (0 = per epoch only)")
+    p.add_argument("--ckpt_every", type=int, default=1,
+                   help="save the 'last' checkpoint every N epochs "
+                        "(1 = reference parity; >1 skips the per-epoch "
+                        "device->host state fetch on small corpora; best-"
+                        "on-validation and the final epoch always save)")
     p.add_argument("--device_corpus", default="auto",
                    choices=["auto", "true", "false"],
                    help="keep the packed corpus resident in device HBM "
@@ -242,7 +247,8 @@ def main(argv=None):
             ValidationPlugin(val_loader, test_loader or val_loader))
     trainer.register_plugin(AbsoluteTimeMonitor())
     trainer.register_plugin(SaverPlugin(
-        manager, every_n_iterations=args.save_every_iterations))
+        manager, every_n_iterations=args.save_every_iterations,
+        every_n_epochs=args.ckpt_every))
     log_fields = ["training_loss", "validation_loss", "test_loss", "time"]
     if args.metrics_every:
         if not args.ulaw:

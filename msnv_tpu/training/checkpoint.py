@@ -273,8 +273,17 @@ class CheckpointManager:
                     os.path.abspath(p) != os.path.abspath(keep_path):
                 self._remove(p)
 
+    @property
+    def best_loss(self) -> float:
+        """Best validation loss seen by save_epoch (inf before any)."""
+        return self._best_loss
+
     def save_epoch(self, state, epoch: int, iteration: int,
-                   val_loss: float | None = None, meta: dict | None = None):
+                   val_loss: float | None = None, meta: dict | None = None,
+                   save_last: bool = True):
+        """save_last=False saves/retains only the best-checkpoint side
+        (used by SaverPlugin's every_n_epochs thinning: an off-schedule
+        epoch that improved validation still pins a best checkpoint)."""
         meta = dict(meta or {}, epoch=epoch, iteration=iteration)
         # WRITE-then-delete: the new checkpoint lands before old ones are
         # removed, so a crash/preemption mid-save never leaves the run with
@@ -282,9 +291,10 @@ class CheckpointManager:
         # the barrier inside _save fences them from other hosts' reads.
         proc0 = jax.process_index() == 0
         path = self._fmt(LAST_PATTERN, epoch, iteration)
-        self._save(path, state, meta)
-        if not self.keep_old and proc0:
-            self._retain_only(path, _LAST_RE)
+        if save_last:
+            self._save(path, state, meta)
+            if not self.keep_old and proc0:
+                self._retain_only(path, _LAST_RE)
         if val_loss is not None and val_loss < self._best_loss:
             self._best_loss = val_loss
             best = self._fmt(BEST_PATTERN, epoch, iteration)

@@ -118,9 +118,18 @@ class SaverPlugin(Plugin):
     a capability the reference lacks (it only saves per epoch and restarts
     Adam/cursor on resume, ref plugins.py:113-155)."""
 
-    def __init__(self, manager, every_n_iterations: int = 0):
+    def __init__(self, manager, every_n_iterations: int = 0,
+                 every_n_epochs: int = 1):
         self.manager = manager
         self.every_n_iterations = every_n_iterations
+        # every_n_epochs > 1 thins the per-epoch "last" saves: on small
+        # corpora the device->host state fetch (params + Adam moments)
+        # dominates epoch wall-clock, and the reference behavior (save
+        # every epoch, ref plugins.py:127-136) pays it even when nothing
+        # will ever read the intermediate checkpoint. Best checkpoints
+        # still land on ANY epoch that improves validation, and the
+        # final epoch always saves.
+        self.every_n_epochs = max(1, int(every_n_epochs))
         # mid-epoch saves snapshot trainer state per iteration
         self.needs_sync_state = bool(every_n_iterations)
 
@@ -135,9 +144,15 @@ class SaverPlugin(Plugin):
     def epoch(self, epoch_index: int):
         t = self.trainer
         val = t.stats.get("validation_loss", {}).get("last")
+        due = (self.every_n_epochs == 1
+               or epoch_index % self.every_n_epochs == 0
+               or epoch_index == getattr(t, "epoch_limit", epoch_index))
+        improved = val is not None and val < self.manager.best_loss
+        if not (due or improved):
+            return   # skip the device->host state fetch entirely
         self.manager.save_epoch(
             t.checkpoint_state(), epoch_index, t.iterations,
-            val_loss=val, meta={"tag": t.tag})
+            val_loss=val, meta={"tag": t.tag}, save_last=due)
 
 
 class Logger(Plugin):

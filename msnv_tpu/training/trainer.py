@@ -231,6 +231,7 @@ class Trainer:
         """Run up to epoch_limit epochs, resuming from self.epochs (and,
         for a mid-epoch checkpoint, from self.start_chunk) —
         ref trainer/__init__.py:52-60 plus exact-cursor resume."""
+        self.epoch_limit = epoch_limit   # plugins may key off the final epoch
         first = True
         for epoch in range(self.epochs + 1, epoch_limit + 1):
             self.train_epoch(self.start_chunk if first else 0)

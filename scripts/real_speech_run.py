@@ -152,6 +152,9 @@ def main():
             "--dataset", "wav/", "--cond_set", "wav/",
             "--results_path", results,
             "--epoch_limit", str(epochs),
+            # the per-epoch device->host checkpoint fetch dominates epoch
+            # wall-clock on this 127 s corpus — thin it
+            "--ckpt_every", "1" if args.tiny else "10",
             "--metrics_every", "1" if args.tiny else "25",
         ])
     finally:

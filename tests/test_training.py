@@ -290,3 +290,41 @@ def test_pipelined_flush_checkpoint_snapshot(tiny_setup, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(t_a.params),
                     jax.tree_util.tree_leaves(t_c.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_saver_every_n_epochs(tiny_setup, tmp_path):
+    """every_n_epochs thins 'last' saves (epochs 3 and final 7 here) but
+    still pins a best checkpoint on ANY epoch that improves validation,
+    and resume picks up from the thinned latest."""
+    cfg, ccfg, _, loader, _ = tiny_setup
+    val = build_corpus(ccfg, "validation")
+    val_loader = ChunkLoader(val, 64, 16, 16)
+
+    saved = []
+    t = make_trainer(cfg, loader, seed=3)
+    mgr = CheckpointManager(str(tmp_path / "thin"))
+    orig = mgr.save_epoch
+
+    def spy(state, epoch, iteration, val_loss=None, meta=None,
+            save_last=True):
+        saved.append((epoch, save_last))
+        return orig(state, epoch, iteration, val_loss=val_loss, meta=meta,
+                    save_last=save_last)
+
+    mgr.save_epoch = spy
+    t.register_plugin(ValidationPlugin(val_loader, val_loader))
+    t.register_plugin(SaverPlugin(mgr, every_n_epochs=3))
+    t.run(7)
+
+    last_epochs = sorted(e for e, save_last in saved if save_last)
+    assert last_epochs[-1] == 7                 # final epoch always saves
+    assert 3 in last_epochs and 6 in last_epochs
+    assert 1 not in last_epochs and 2 not in last_epochs
+    _, e, _ = mgr.latest()
+    assert e == 7
+    # loss improves steadily at this scale -> best saved off-schedule too
+    assert mgr.best() is not None
+    # old 'last' checkpoints retained only once per save
+    import glob as _glob
+    lasts = [p for p in _glob.glob(str(tmp_path / "thin" / "ep*-it*.*"))]
+    assert len(lasts) == 1   # retention keeps only the newest last
