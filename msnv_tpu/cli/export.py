@@ -30,6 +30,11 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=None,
                    help="conditioner frames per bucket (alternative to "
                         "--seconds)")
+    p.add_argument("--frame_bucket", type=int, default=16,
+                   help="round frame counts up to this multiple — MUST "
+                        "match the server's frame_bucket or its padded "
+                        "requests never hit a bucket (msnv-serve default "
+                        "16); 1 disables rounding for direct .call users")
     p.add_argument("--engine", default="xla", choices=["xla", "pallas"])
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--bf16", action="store_true",
@@ -59,7 +64,15 @@ def main(argv=None):
         n_frames = args.frames
     else:
         n_frames = -(-int(args.seconds * 16000) // m.lookback)
+    n_frames = -(-n_frames // args.frame_bucket) * args.frame_bucket
     lanes = [int(x) for x in args.lanes.split(",") if x]
+    for b in lanes:
+        if b & (b - 1):
+            print(f"warning: lanes={b} is not a power of two — "
+                  f"msnv-serve pads live batches to powers of two and "
+                  f"will never dispatch to this bucket (direct "
+                  f"GenerationArtifact.call users are unaffected)",
+                  file=sys.stderr)
 
     params = init_params(jax.random.PRNGKey(0), m)
     state, _meta = load_any(args.model, {"params": params})

@@ -170,8 +170,12 @@ def _to_string(value) -> str:
         # value (e.g. a non-default cond_set "wav/") would silently nest
         # results/<tag-prefix>/<tag-suffix> and break experiment
         # enumeration + tag_from_checkpoint_path (latent in ref
-        # train.py:72-85, where default-valued 'cond/' never hit it)
-        return value.replace("/", "+")
+        # train.py:72-85, where default-valued 'cond/' never hit it).
+        # Injective escape: '+' is the lead and is itself escaped first,
+        # so values containing literal '+' round-trip too (every '+' in
+        # an encoded value is followed by 'p' or 's', making decode
+        # unambiguous).
+        return value.replace("+", "+p").replace("/", "+s")
     return str(value)
 
 
@@ -213,7 +217,9 @@ def _as_type(value: str, like):
         if len(like):
             return tuple(_as_type(e, like[0]) for e in elems)
         return tuple(int(e) for e in elems)
-    return value.replace("+", "/")   # inverse of _to_string's path escape
+    # inverse of _to_string's path escape ('+s' first: '+' always leads an
+    # escape pair in encoded values, so '+s' can only be the '/' escape)
+    return value.replace("+s", "/").replace("+p", "+")
 
 
 def tag_from_checkpoint_path(path: str) -> str:

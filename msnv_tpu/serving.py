@@ -120,6 +120,8 @@ class VocoderService:
         # (lanes, frames, temperature, spk-kind) hit an exported bucket
         # run the deserialized executable — no tracing on the serving
         # host; everything else falls back to the live jit path
+        if artifact is not None:
+            self._validate_artifact(artifact, cfg)
         self.artifact = artifact
         self.temperature_default = float(temperature_default)
         self.frame_bucket = int(frame_bucket)
@@ -135,6 +137,36 @@ class VocoderService:
         self._batcher = (_Batcher(self._run_group, max_batch,
                                   linger_ms / 1000.0)
                          if max_batch > 1 else None)
+
+    @staticmethod
+    def _validate_artifact(artifact, cfg: ModelConfig) -> None:
+        """Fail at STARTUP, not per request: an artifact exported from a
+        different architecture would either throw inside exp.call on
+        every bucket hit or — worse, for same-shaped configs like
+        ulaw:T vs ulaw:F — silently produce wrong audio."""
+        import dataclasses
+        import jax
+
+        def norm(d):
+            return {k: list(v) if isinstance(v, (list, tuple)) else v
+                    for k, v in d.items()}
+
+        want, got = norm(dataclasses.asdict(cfg)), norm(
+            dict(artifact.manifest.get("model") or {}))
+        if want != got:
+            diff = sorted(k for k in set(want) | set(got)
+                          if want.get(k) != got.get(k))
+            raise ValueError(
+                f"artifact/model config mismatch on {diff}: "
+                f"artifact {[got.get(k) for k in diff]} vs served model "
+                f"{[want.get(k) for k in diff]}")
+        backend = jax.default_backend()
+        platforms = artifact.manifest.get("platforms") or []
+        if backend not in platforms:
+            raise ValueError(
+                f"artifact was exported for platforms {platforms}; this "
+                f"server runs on '{backend}' (re-export with "
+                f"--platforms {backend} or on the serving machine)")
 
     # -- request plumbing ------------------------------------------------
 
@@ -238,21 +270,18 @@ class VocoderService:
         for it in items[1:]:
             key = jax.random.fold_in(key, it["seed"])
         art = self.artifact
-        if (art is not None
-                and temperature == art.manifest["temperature"]
-                and art.manifest["spk_mix"] == (_kind == "f")
-                and art.has_bucket(lanes, int(conds.shape[1]))):
-            with self._lock:
-                audio, _ = art.call(self.params, conds, spks, key)
-            audio = np.asarray(audio)
-            return [audio[i, :it["n"] * self.cfg.lookback]
-                    for i, it in enumerate(items)]
         with self._lock:
-            if temperature not in self._gen_cache:
-                self._evict(self._gen_cache)
-                self._gen_cache[temperature] = generate_fn(
-                    self.params, self.cfg, temperature=temperature)
-            audio, _ = self._gen_cache[temperature](conds, spks, key)
+            if (art is not None
+                    and temperature == art.manifest["temperature"]
+                    and art.manifest["spk_mix"] == (_kind == "f")
+                    and art.has_bucket(lanes, int(conds.shape[1]))):
+                audio, _ = art.call(self.params, conds, spks, key)
+            else:
+                if temperature not in self._gen_cache:
+                    self._evict(self._gen_cache)
+                    self._gen_cache[temperature] = generate_fn(
+                        self.params, self.cfg, temperature=temperature)
+                audio, _ = self._gen_cache[temperature](conds, spks, key)
         audio = np.asarray(audio)
         return [audio[i, :it["n"] * self.cfg.lookback]
                 for i, it in enumerate(items)]
@@ -415,7 +444,12 @@ def main(argv=None):
     p.add_argument("--artifact", default=None,
                    help="AOT generation artifact from msnv-export: "
                         "matching requests run the exported executable "
-                        "(no tracing); others fall back to live jit")
+                        "(no tracing); others fall back to live jit. "
+                        "Validated against the served model at startup.")
+    p.add_argument("--frame_bucket", type=int, default=16,
+                   help="pad request frame counts to this multiple "
+                        "(bounds compile count; must match msnv-export "
+                        "--frame_bucket for artifact dispatch)")
     args = p.parse_args(argv)
 
     tag = os.path.basename(os.path.dirname(os.path.dirname(
@@ -429,6 +463,7 @@ def main(argv=None):
         artifact = load_artifact(args.artifact)
     service = VocoderService(state["params"], cfg.model,
                              temperature_default=args.temperature,
+                             frame_bucket=args.frame_bucket,
                              frames_per_push=args.frames_per_push,
                              max_batch=args.max_batch,
                              linger_ms=args.linger_ms,

@@ -291,17 +291,21 @@ class CheckpointManager:
         # the barrier inside _save fences them from other hosts' reads.
         proc0 = jax.process_index() == 0
         path = self._fmt(LAST_PATTERN, epoch, iteration)
+        written = None
         if save_last:
             self._save(path, state, meta)
             if not self.keep_old and proc0:
                 self._retain_only(path, _LAST_RE)
+            written = path
         if val_loss is not None and val_loss < self._best_loss:
             self._best_loss = val_loss
             best = self._fmt(BEST_PATTERN, epoch, iteration)
             self._save(best, state, dict(meta, val_loss=val_loss))
             if proc0:
                 self._retain_only(best, _BEST_RE)
-        return path
+            written = written or best
+        # a path that was actually written (last if both); None if neither
+        return written
 
     def latest(self):
         """Newest last-checkpoint path + (epoch, iteration), or None.

@@ -64,7 +64,12 @@ def stage_corpus(wav_src, data_dir, read_wav, write_wav):
     per_spk = {}
     for path in sorted(glob.glob(os.path.join(wav_src, "*.wav"))):
         base = os.path.basename(path)
-        spk = base.split("spk-")[1][:2]
+        if "spk-" not in base:
+            print(f"skipping {base}: no 'spk-<id>' tag in the filename")
+            continue
+        # speaker token up to the extension; the corpus convention needs
+        # a 2-char prefix (ref dataset.py:73-76), so zero-pad short ids
+        spk = base.split("spk-")[1].split(".")[0].zfill(2)[:2]
         idx = len(per_spk.get(spk, []))
         name = f"{spk}u{idx:03d}"
         audio, sr = read_wav(path)
@@ -101,6 +106,10 @@ def main():
     # 127 s of audio packs into at most ~22 full lanes at seq_len 1040
     # (corpus.py enforces batch*(seq_len+overlap)*cond_len geometry)
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--dim", type=int, default=1024,
+                   help="model width: 1024 = canonical (60M params, "
+                        "heavily over-parameterized for 127 s); smaller "
+                        "dims probe the capacity/data trade-off")
     p.add_argument("--tiny", action="store_true",
                    help="CPU smoke scale (small dim, 2 epochs)")
     args = p.parse_args()
@@ -133,7 +142,7 @@ def main():
     else:
         epochs = args.epochs
         model_flags = ["--frame_sizes", "20", "4", "--n_rnn", "2",
-                       "--dim", "1024", "--seq_len", "1040",
+                       "--dim", str(args.dim), "--seq_len", "1040",
                        "--batch_size", str(args.batch_size),
                        "--learning_rate", "1e-4", "--bf16", "true"]
 
@@ -183,7 +192,8 @@ def main():
     with open(gen_spk, "w") as f:
         f.write("\n".join(str(i) for i in range(len(names))))
 
-    gen_out = os.path.join(out, "gen")
+    suffix = "" if args.dim == 1024 else f"_dim{args.dim}"
+    gen_out = os.path.join(out, "gen" + suffix)
     shutil.rmtree(gen_out, ignore_errors=True)
     gen_main([
         "--model", model_path,
@@ -213,7 +223,7 @@ def main():
         if not args.tiny:
             shutil.copy(os.path.join(gen_out, w),
                         os.path.join(repo_samples,
-                                     f"real_speech_{name}.wav"))
+                                     f"real_speech{suffix}_{name}.wav"))
     rho_f0 = spearman(np.asarray(f0_gen), np.asarray(f0_nat))
 
     val = [v for v in stats.get("validation_loss", []) if v is not None]
@@ -248,7 +258,8 @@ def main():
             for k in ("mcd_db", "f0_rmse_hz", "vuv_error_rate")
             if k in stats},
     }
-    with open(os.path.join(out, "real_speech_report.json"), "w") as f:
+    with open(os.path.join(out, f"real_speech_report{suffix}.json"),
+              "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
     ok = rho_f0 >= 0.8 and all(np.isfinite(mcds))

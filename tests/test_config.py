@@ -107,3 +107,12 @@ def test_tag_path_values_stay_single_level():
     back = parse_tag(tag, exp=cfg.exp)
     assert back.data.cond_set == "wav/"
     assert back.data.dataset == "sub/wav/"
+    # the escape is injective: literal '+' (alone and in every mix with
+    # '/' and the escape letters) survives the round-trip
+    for v in ("a+b", "+", "++", "+-", "+p", "+s", "a+/", "/+", "+p/s+",
+              "wav+", "p+sp/"):
+        cfg_v = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, cond_set=v))
+        t = make_tag(cfg_v)
+        assert "/" not in t, (v, t)
+        assert parse_tag(t, exp=cfg_v.exp).data.cond_set == v, (v, t)

@@ -128,8 +128,13 @@ def test_export_cli(tiny_checkpoint, tmp_path):
     model_path = tiny_checkpoint
     out = os.path.join(tmp_path, "cli.msnvx")
     from msnv_tpu.cli.export import main as export_main
+    # default --frame_bucket 16 rounds frames up to serving's padding
+    # geometry; --frame_bucket 1 keeps the exact count
+    export_main(["--model", model_path, "--out", out + ".b16",
+                 "--lanes", "1", "--frames", "2"])
+    assert load_artifact(out + ".b16").buckets == [(1, 16)]
     export_main(["--model", model_path, "--out", out,
-                 "--lanes", "1,2", "--frames", "2"])
+                 "--lanes", "1,2", "--frames", "2", "--frame_bucket", "1"])
     art = load_artifact(out)
     assert art.buckets == [(1, 2), (2, 2)]
     with open(out, "rb") as f:

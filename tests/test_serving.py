@@ -302,3 +302,24 @@ def test_artifact_backed_synthesize(tmp_path_factory):
                                   artifact=artifact, name="art"))
     live = run(VocoderService(params, CFG, frame_bucket=4, name="live"))
     assert with_art == live
+
+
+def test_artifact_mismatch_rejected_at_startup(tmp_path_factory):
+    """An artifact exported from a different architecture (or platform)
+    must fail at service construction, not per request."""
+    import dataclasses
+    import os
+    from msnv_tpu.export import load_artifact, save_artifact
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    art_path = os.path.join(tmp_path_factory.mktemp("art2"), "m.msnvx")
+    save_artifact(art_path, CFG, [(1, 4)], params=params)
+    art = load_artifact(art_path)
+
+    other = dataclasses.replace(CFG, ulaw=not CFG.ulaw)
+    with pytest.raises(ValueError, match="mismatch on \\['ulaw'\\]"):
+        VocoderService(params, other, artifact=art)
+
+    art.manifest["platforms"] = ["nonexistent-backend"]
+    with pytest.raises(ValueError, match="platforms"):
+        VocoderService(params, CFG, artifact=art)
