@@ -57,6 +57,9 @@ def main(argv=None):
     if (args.seconds is None) == (args.frames is None):
         p.error("exactly one of --seconds / --frames is required")
 
+    if args.frame_bucket < 1:
+        raise SystemExit(f"--frame_bucket must be >= 1 (1 disables "
+                         f"rounding), got {args.frame_bucket}")
     tag = tag_from_checkpoint_path(args.model)
     cfg = parse_tag(tag)
     m = cfg.model

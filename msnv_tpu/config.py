@@ -217,9 +217,30 @@ def _as_type(value: str, like):
         if len(like):
             return tuple(_as_type(e, like[0]) for e in elems)
         return tuple(int(e) for e in elems)
-    # inverse of _to_string's path escape ('+s' first: '+' always leads an
-    # escape pair in encoded values, so '+s' can only be the '/' escape)
-    return value.replace("+s", "/").replace("+p", "+")
+    # inverse of _to_string's path escape: in encoded values every '+'
+    # leads a '+p'/'+s' pair. A '+' followed by anything else can only
+    # come from the short-lived earlier scheme that encoded '/' as a bare
+    # '+' — decode it as '/' so directories written under that scheme
+    # still round-trip (resume finds them instead of silently restarting).
+    out, i = [], 0
+    while i < len(value):
+        c = value[i]
+        if c == "+":
+            nxt = value[i + 1] if i + 1 < len(value) else ""
+            if nxt == "p":
+                out.append("+")
+                i += 2
+                continue
+            if nxt == "s":
+                out.append("/")
+                i += 2
+                continue
+            out.append("/")   # legacy bare-'+' escape
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def tag_from_checkpoint_path(path: str) -> str:

@@ -125,7 +125,14 @@ class VocoderService:
         self.artifact = artifact
         self.temperature_default = float(temperature_default)
         self.frame_bucket = int(frame_bucket)
+        if self.frame_bucket < 1:
+            raise ValueError(
+                f"frame_bucket must be >= 1 (1 disables rounding), got "
+                f"{frame_bucket}")
         self.frames_per_push = int(frames_per_push)
+        if self.frames_per_push < 1:
+            raise ValueError(
+                f"frames_per_push must be >= 1, got {frames_per_push}")
         self.name = name
         self._gen_cache = {}       # temperature -> generate fn
         self._stream_cache = {}    # T -> (init_state, push)
@@ -147,9 +154,14 @@ class VocoderService:
         import dataclasses
         import jax
 
+        # engine-choice fields are numerics-equivalent (config.py) and do
+        # not affect the exported executable (the artifact's engine is the
+        # separate manifest "engine" field) — never a compatibility reason
+        engine_fields = ("gru_impl", "mlp_grad_impl")
+
         def norm(d):
             return {k: list(v) if isinstance(v, (list, tuple)) else v
-                    for k, v in d.items()}
+                    for k, v in d.items() if k not in engine_fields}
 
         want, got = norm(dataclasses.asdict(cfg)), norm(
             dict(artifact.manifest.get("model") or {}))
@@ -162,11 +174,15 @@ class VocoderService:
                 f"{[want.get(k) for k in diff]}")
         backend = jax.default_backend()
         platforms = artifact.manifest.get("platforms") or []
-        if backend not in platforms:
+        # jax.default_backend() says 'gpu' for either CUDA or ROCm, while
+        # jax.export names the lowering target 'cuda'/'rocm'
+        accepted = {"gpu": ("gpu", "cuda", "rocm")}.get(backend, (backend,))
+        if not any(p in platforms for p in accepted):
+            want = "cuda" if backend == "gpu" else backend
             raise ValueError(
                 f"artifact was exported for platforms {platforms}; this "
                 f"server runs on '{backend}' (re-export with "
-                f"--platforms {backend} or on the serving machine)")
+                f"--platforms {want} or on the serving machine)")
 
     # -- request plumbing ------------------------------------------------
 

@@ -243,6 +243,17 @@ class CheckpointManager:
                 self._best_loss = float(meta.get("val_loss", float("inf")))
             except Exception:
                 pass
+        # Multi-host: hosts without a shared checkpoints filesystem recover
+        # different _best_loss values (process 0 sees the real history, the
+        # rest glob an empty local dir -> inf). Every save decision compares
+        # against _best_loss and _save contains a cross-host barrier, so a
+        # divergent value means mismatched collective participation (hang).
+        # Adopt process 0's view everywhere up front.
+        if jax.process_count() > 1:
+            import numpy as _np
+            from jax.experimental import multihost_utils
+            self._best_loss = float(multihost_utils.broadcast_one_to_all(
+                _np.asarray(self._best_loss, _np.float32)))
 
     def _save(self, path, state, meta):
         if self.backend == "orbax":

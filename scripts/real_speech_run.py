@@ -68,8 +68,16 @@ def stage_corpus(wav_src, data_dir, read_wav, write_wav):
             print(f"skipping {base}: no 'spk-<id>' tag in the filename")
             continue
         # speaker token up to the extension; the corpus convention needs
-        # a 2-char prefix (ref dataset.py:73-76), so zero-pad short ids
-        spk = base.split("spk-")[1].split(".")[0].zfill(2)[:2]
+        # a 2-char prefix (ref dataset.py:73-76), so zero-pad short ids.
+        # Longer tokens don't fit the convention — refuse rather than
+        # truncate, which would silently merge distinct speakers.
+        token = base.split("spk-")[1].split(".")[0]
+        if len(token) > 2:
+            raise SystemExit(
+                f"{base}: speaker token '{token}' is longer than the "
+                f"2-char corpus convention (ref dataset.py:73-76) — "
+                f"rename sources to 2-char speaker ids")
+        spk = token.zfill(2)
         idx = len(per_spk.get(spk, []))
         name = f"{spk}u{idx:03d}"
         audio, sr = read_wav(path)

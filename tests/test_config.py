@@ -116,3 +116,13 @@ def test_tag_path_values_stay_single_level():
         t = make_tag(cfg_v)
         assert "/" not in t, (v, t)
         assert parse_tag(t, exp=cfg_v.exp).data.cond_set == v, (v, t)
+
+
+def test_tag_legacy_bare_plus_escape_decodes():
+    """Directories written under the short-lived earlier escape scheme
+    ('/' encoded as a bare '+') must still round-trip: a '+' not followed
+    by 'p'/'s' decodes as '/', so --resume finds the old results dir."""
+    legacy_tag = make_tag(preset("samplernn")).replace(
+        "~", "~cond_set:wav+~", 1)   # 'wav/' under the legacy scheme
+    back = parse_tag(legacy_tag, exp="samplernn")
+    assert back.data.cond_set == "wav/"

@@ -323,3 +323,31 @@ def test_artifact_mismatch_rejected_at_startup(tmp_path_factory):
     art.manifest["platforms"] = ["nonexistent-backend"]
     with pytest.raises(ValueError, match="platforms"):
         VocoderService(params, CFG, artifact=art)
+
+    # engine-choice config fields are numerics-equivalent and not part of
+    # the artifact ABI: they must NOT fail validation (parse_tag on the
+    # serving side always yields the defaults)
+    art.manifest["platforms"] = [jax.default_backend()]
+    art.manifest["model"]["gru_impl"] = "pallas"
+    art.manifest["model"]["mlp_grad_impl"] = "direct"
+    VocoderService(params, CFG, artifact=art)   # no raise
+
+    # cuda/rocm exports are valid on hosts whose backend reports 'gpu'
+    orig = jax.default_backend
+    jax.default_backend = lambda: "gpu"
+    try:
+        art.manifest["platforms"] = ["cuda"]
+        VocoderService(params, CFG, artifact=art)   # no raise
+        art.manifest["platforms"] = ["tpu"]
+        with pytest.raises(ValueError, match="platforms"):
+            VocoderService(params, CFG, artifact=art)
+    finally:
+        jax.default_backend = orig
+
+
+def test_service_rejects_degenerate_buckets():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with pytest.raises(ValueError, match="frame_bucket"):
+        VocoderService(params, CFG, frame_bucket=0)
+    with pytest.raises(ValueError, match="frames_per_push"):
+        VocoderService(params, CFG, frames_per_push=0)
