@@ -37,13 +37,15 @@ PAD = 2
 LEAK = 0.2
 
 
-def _conv_init(key, in_ch, out_ch, dtype=jnp.float32):
+def _conv_init(key, in_ch, out_ch, bias=True, dtype=jnp.float32):
     # HWIO layout for lax.conv_general_dilated with NHWC
-    return {
+    p = {
         "w": kaiming_uniform(key, (KERNEL, KERNEL, in_ch, out_ch),
                              fan_in=KERNEL * KERNEL * in_ch, dtype=dtype),
-        "b": jnp.zeros((out_ch,), dtype),
     }
+    if bias:
+        p["b"] = jnp.zeros((out_ch,), dtype)
+    return p
 
 
 def discriminator_init(key, spk_dim: int, channels: int = CHANNELS,
@@ -53,8 +55,13 @@ def discriminator_init(key, spk_dim: int, channels: int = CHANNELS,
     for _ in range(N_BLOCKS):
         key, k1, k2 = jax.random.split(key, 3)
         blocks.append({
-            "conv1": _conv_init(k1, in_ch, channels, dtype),
-            "conv2": _conv_init(k2, channels, channels, dtype),
+            "conv1": _conv_init(k1, in_ch, channels, dtype=dtype),
+            # no bias on the pre-norm conv: InstanceNorm subtracts the
+            # per-map mean, so a conv2 bias is a dead parameter whose
+            # exactly-zero gradient Adam would amplify from FP noise into
+            # arbitrary-direction steps (breaks sharded==single-device)
+            "conv2": _conv_init(k2, channels, channels, bias=False,
+                                dtype=dtype),
         })
         in_ch = channels
     key, k_out = jax.random.split(key)
@@ -74,7 +81,7 @@ def _conv(p, x):
         x, p["w"], window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype)
-    return y + p["b"]
+    return y + p["b"] if "b" in p else y
 
 
 def _instance_norm(x, eps: float = 1e-5):

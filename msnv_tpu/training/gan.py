@@ -13,6 +13,15 @@ Semantics (ref doc/Barbany_report.pdf §3.2.2 + run_samplegan.sh
 - lambda ramps linearly start -> target over ramp_steps, then stays.
 
 Both updates run in ONE jitted step; the step index drives the ramp.
+
+Like the identity-variant path (training/step.py), the step comes in three
+forms sharing one core: tensor-argument (`make_gan_train_step`), indexed
+over a device-resident corpus (`make_gan_train_step_indexed`), and a
+multi-chunk `lax.scan` executable (`make_gan_train_block_scan`). All three
+accept a device mesh: vocoder params dp-replicated/tp-sharded
+(parallel/mesh.param_sharding), discriminator + both optimizer states
+replicated, batch-like inputs sharded over 'data' — XLA inserts the
+gradient psums for BOTH optimizers, so the same step runs 1 chip -> pod.
 """
 
 from __future__ import annotations
@@ -25,7 +34,9 @@ from msnv_tpu.config import ModelConfig, TrainConfig
 from msnv_tpu.models.discriminator import discriminator_nll
 from msnv_tpu.models.samplernn import predictor_apply
 from msnv_tpu.ops.xent import nll_bits_from_logits
-from msnv_tpu.training.step import state_stop_gradient
+from msnv_tpu.training.step import (
+    chunk_slices, freeze_h0_grads, state_stop_gradient,
+)
 
 
 def lambda_ramp(cfg: TrainConfig, step):
@@ -34,11 +45,12 @@ def lambda_ramp(cfg: TrainConfig, step):
     return start + (target - start) * frac
 
 
-def make_gan_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
-                        main_opt, disc_opt, compute_dtype=None):
-    """Returns jitted step:
+def _make_gan_core(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                   main_opt, disc_opt, compute_dtype):
+    """Un-jitted two-optimizer step body, shared by the tensor-argument,
+    indexed, and block-scan entry points.
 
-    step(params, disc_params, main_opt_state, disc_opt_state, state,
+    core(params, disc_params, main_opt_state, disc_opt_state, state,
          step_idx, data, reset, target, cond, spk)
       -> (params, disc_params, main_opt_state, disc_opt_state, state,
           {"loss": L1_bits, "disc_loss": L2, "lambda": lam})
@@ -62,7 +74,7 @@ def make_gan_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
     def main_loss(params, disc_params, state, data, reset, cond, spk,
                   target, lam):
         logits, new_state, latent = forward(params, state, data, reset,
-                                             cond, spk)
+                                            cond, spk)
         l1 = nll_bits_from_logits(logits, target)
         # adversarial term: vocoder params get -lam * dL2/dparams via latent
         l2 = discriminator_nll(disc_params, latent, spk)
@@ -71,12 +83,10 @@ def make_gan_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
     def disc_loss(disc_params, latent, spk):
         return discriminator_nll(disc_params, latent, spk)
 
-    @jax.jit
-    def step(params, disc_params, main_opt_state, disc_opt_state, state,
+    def core(params, disc_params, main_opt_state, disc_opt_state, state,
              step_idx, data, reset, target, cond, spk):
         lam = lambda_ramp(train_cfg, step_idx)
 
-        from msnv_tpu.training.step import freeze_h0_grads
         grads, (new_state, l1, latent) = jax.grad(
             main_loss, has_aux=True)(params, disc_params, state, data,
                                      reset, cond, spk, target, lam)
@@ -97,4 +107,159 @@ def make_gan_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         return (params, disc_params, main_opt_state, disc_opt_state,
                 state_stop_gradient(new_state), metrics)
 
-    return step
+    return core
+
+
+def _gan_shardings(mesh, params_template, disc_template, main_opt_template,
+                   disc_opt_template, state_template):
+    """(p_sh, d_sh, mo_sh, do_sh, s_sh, b, rep) for the GAN step family.
+
+    Vocoder params follow param_sharding (replicated over 'data', wide
+    weights over 'model'); the discriminator — small vs the vocoder and
+    convolutional — is fully replicated, as are both Adam states."""
+    from msnv_tpu.parallel.mesh import (
+        batch_sharding, param_sharding, replicated, state_sharding,
+    )
+    rep = replicated(mesh)
+    p_sh = param_sharding(mesh, params_template)
+    d_sh = jax.tree_util.tree_map(lambda _: rep, disc_template)
+    mo_sh = jax.tree_util.tree_map(lambda _: rep, main_opt_template)
+    do_sh = jax.tree_util.tree_map(lambda _: rep, disc_opt_template)
+    s_sh = [state_sharding(mesh) for _ in state_template]
+    b = batch_sharding(mesh)
+    return p_sh, d_sh, mo_sh, do_sh, s_sh, b, rep
+
+
+_METRICS = ("loss", "disc_loss", "lambda")
+
+
+def make_gan_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                        main_opt, disc_opt, mesh=None, donate=False,
+                        compute_dtype=None):
+    """Jitted two-optimizer step:
+
+    step(params, disc_params, main_opt_state, disc_opt_state, state,
+         step_idx, data, reset, target, cond, spk)
+      -> (params, disc_params, main_opt_state, disc_opt_state, state,
+          {"loss": L1_bits, "disc_loss": L2, "lambda": lam})
+
+    With a mesh, returns a builder(params_t, disc_t, main_opt_t, disc_opt_t,
+    state_t) like training/step.make_train_step.
+    """
+    core = _make_gan_core(model_cfg, train_cfg, main_opt, disc_opt,
+                          compute_dtype)
+    kwargs = {"donate_argnums": (0, 1, 2, 3, 4)} if donate else {}
+    if mesh is None:
+        return jax.jit(core, **kwargs)
+
+    def jit_with_shardings(params_t, disc_t, main_opt_t, disc_opt_t,
+                           state_t):
+        p_sh, d_sh, mo_sh, do_sh, s_sh, b, rep = _gan_shardings(
+            mesh, params_t, disc_t, main_opt_t, disc_opt_t, state_t)
+        m_sh = {k: rep for k in _METRICS}
+        return jax.jit(
+            core,
+            in_shardings=(p_sh, d_sh, mo_sh, do_sh, s_sh, rep,
+                          b, rep, b, b, b),
+            out_shardings=(p_sh, d_sh, mo_sh, do_sh, s_sh, m_sh),
+            **kwargs,
+        )
+
+    return jit_with_shardings
+
+
+def make_gan_train_step_indexed(model_cfg: ModelConfig,
+                                train_cfg: TrainConfig, main_opt, disc_opt,
+                                seq_len: int, overlap_len: int,
+                                cond_in_seq: int, donate=True,
+                                compute_dtype=None):
+    """Indexed GAN step over a device-resident corpus:
+
+    step(params, disc_params, main_opt_state, disc_opt_state, state,
+         step_idx, corpus, k) -> (..., metrics)
+
+    Numerically identical to make_gan_train_step on host-sliced tensors
+    (training/step.chunk_slices is exact); removes the per-step
+    host->device chunk upload.
+    """
+    core = _make_gan_core(model_cfg, train_cfg, main_opt, disc_opt,
+                          compute_dtype)
+
+    def step(params, disc_params, main_opt_state, disc_opt_state, state,
+             step_idx, corpus, k):
+        data, reset, target, cond, spk = chunk_slices(
+            corpus, k, seq_len, overlap_len, cond_in_seq)
+        return core(params, disc_params, main_opt_state, disc_opt_state,
+                    state, step_idx, data, reset, target, cond, spk)
+
+    kwargs = {"donate_argnums": (0, 1, 2, 3, 4)} if donate else {}
+    return jax.jit(step, **kwargs)
+
+
+def make_gan_train_block_scan(model_cfg: ModelConfig,
+                              train_cfg: TrainConfig, main_opt, disc_opt,
+                              seq_len: int, overlap_len: int,
+                              cond_in_seq: int, mesh=None, donate=True,
+                              compute_dtype=None):
+    """Multi-step GAN executable over a device-resident corpus:
+
+    run_block(params, disc_params, main_opt_state, disc_opt_state, state,
+              step_idx0, corpus, ks (B,))
+      -> (params, disc_params, main_opt_state, disc_opt_state, state,
+          {"loss": (B,), "disc_loss": (B,), "lambda": (B,)})
+
+    A `lax.scan` of the two-optimizer step over a block of chunk indices —
+    ONE dispatch and ONE metrics fetch per block. The lambda-ramp step
+    index advances inside the scan (step_idx0 + position), so the ramp is
+    identical to B sequential steps.
+
+    With a mesh, returns a builder(params_t, disc_t, main_opt_t,
+    disc_opt_t, state_t): corpus lanes sharded over 'data', indices and
+    metrics replicated.
+    """
+    core = _make_gan_core(model_cfg, train_cfg, main_opt, disc_opt,
+                          compute_dtype)
+
+    def run_block(params, disc_params, main_opt_state, disc_opt_state,
+                  state, step_idx0, corpus, ks):
+        def body(carry, k):
+            (params, disc_params, main_opt_state, disc_opt_state, state,
+             step_idx) = carry
+            data, reset, target, cond, spk = chunk_slices(
+                corpus, k, seq_len, overlap_len, cond_in_seq)
+            (params, disc_params, main_opt_state, disc_opt_state, state,
+             metrics) = core(params, disc_params, main_opt_state,
+                             disc_opt_state, state, step_idx, data, reset,
+                             target, cond, spk)
+            carry = (params, disc_params, main_opt_state, disc_opt_state,
+                     state, step_idx + 1.0)
+            return carry, metrics
+
+        (params, disc_params, main_opt_state, disc_opt_state, state,
+         _), metrics = jax.lax.scan(
+            body,
+            (params, disc_params, main_opt_state, disc_opt_state, state,
+             step_idx0), ks)
+        return (params, disc_params, main_opt_state, disc_opt_state, state,
+                metrics)
+
+    kwargs = {"donate_argnums": (0, 1, 2, 3, 4)} if donate else {}
+    if mesh is None:
+        return jax.jit(run_block, **kwargs)
+
+    from msnv_tpu.parallel.mesh import corpus_sharding
+
+    def jit_with_shardings(params_t, disc_t, main_opt_t, disc_opt_t,
+                           state_t):
+        p_sh, d_sh, mo_sh, do_sh, s_sh, b, rep = _gan_shardings(
+            mesh, params_t, disc_t, main_opt_t, disc_opt_t, state_t)
+        c_sh = corpus_sharding(mesh)
+        m_sh = {k: rep for k in _METRICS}
+        return jax.jit(
+            run_block,
+            in_shardings=(p_sh, d_sh, mo_sh, do_sh, s_sh, rep, c_sh, rep),
+            out_shardings=(p_sh, d_sh, mo_sh, do_sh, s_sh, m_sh),
+            **kwargs,
+        )
+
+    return jit_with_shardings

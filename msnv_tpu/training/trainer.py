@@ -50,42 +50,41 @@ class Trainer:
         self.is_gan = cfg.model.variant == "gan"
         if self.is_gan:
             # adversarial variant: discriminator + second optimizer + the
-            # two-loss step (ref run_samplegan.sh; SURVEY.md §2.8)
+            # two-loss step (ref run_samplegan.sh; SURVEY.md §2.8) — same
+            # mesh/device-corpus treatment as the identity path
             import jax
             from msnv_tpu.models.discriminator import discriminator_init
             from msnv_tpu.training.gan import make_gan_train_step
-            if mesh is not None:
-                # sharded GAN step is future work (ROADMAP); say so rather
-                # than silently dropping the mesh
-                print("WARNING: mesh parallelism is not yet wired for the "
-                      "GAN step; training single-device", flush=True)
             self.disc_params = discriminator_init(
                 jax.random.PRNGKey(cfg.train.seed + 1), cfg.model.spk_dim)
             self.disc_opt = optimizer  # same clipped-Adam recipe
             self.disc_opt_state = self.disc_opt.init(self.disc_params)
-            self._gan_step = make_gan_train_step(
-                cfg.model, cfg.train, optimizer, self.disc_opt,
+            gan_builder = make_gan_train_step(
+                cfg.model, cfg.train, optimizer, self.disc_opt, mesh=mesh,
                 compute_dtype=compute_dtype)
-            self._eval = make_eval_step(cfg.model, mesh=None)
-            return
-
-        step_builder = make_train_step(cfg.model, optimizer, mesh=mesh,
-                                       compute_dtype=compute_dtype)
-        eval_builder = make_eval_step(cfg.model, mesh=mesh)
-        if mesh is None:
-            self._step = step_builder
-            self._eval = eval_builder
+            self._gan_step = (
+                gan_builder if mesh is None else
+                gan_builder(*self._gan_templates()))
+            eval_builder = make_eval_step(cfg.model, mesh=mesh)
+            self._eval = (eval_builder if mesh is None else
+                          eval_builder(self.params, self.state))
         else:
-            self._step = step_builder(self.params, self.opt_state, self.state)
-            self._eval = eval_builder(self.params, self.state)
+            step_builder = make_train_step(cfg.model, optimizer, mesh=mesh,
+                                           compute_dtype=compute_dtype)
+            eval_builder = make_eval_step(cfg.model, mesh=mesh)
+            if mesh is None:
+                self._step = step_builder
+                self._eval = eval_builder
+            else:
+                self._step = step_builder(self.params, self.opt_state,
+                                          self.state)
+                self._eval = eval_builder(self.params, self.state)
 
         # device-resident corpus: upload the packed arrays ONCE and slice
         # chunks in-jit by index (training/step.chunk_slices) — removes
         # the ~MB/step host->device chunk upload, the dominant wall-clock
         # cost on hosts with slow accelerator interconnect.
         if self._want_device_corpus(loader):
-            from msnv_tpu.training.step import (make_train_block_scan,
-                                                make_train_step_indexed)
             # window geometry comes from the LOADER (its seq_len/overlap
             # define the windows get_chunk would produce), never from the
             # train config — they agree in the CLI but the API allows any
@@ -93,25 +92,50 @@ class Trainer:
             geo = (loader.seq_len, loader.overlap_len, loader.cond_in_seq)
             if mesh is None:
                 self._corpus_dev = loader.device_arrays()
-                self._step_indexed = make_train_step_indexed(
-                    cfg.model, optimizer, *geo,
-                    compute_dtype=compute_dtype)
             else:
                 # lanes sharded over 'data' (static lane<->replica
                 # assignment, as TBPTT state carry requires)
                 from msnv_tpu.parallel.mesh import corpus_sharding
                 self._corpus_dev = loader.device_arrays(
                     shardings=corpus_sharding(mesh))
-                self._step_indexed = None  # block scan only
-            # multi-step executable: one dispatch + one loss fetch per
-            # scan_block chunks (the per-step path stays for runs with
-            # mid-epoch interval savers)
-            scan_builder = make_train_block_scan(
-                cfg.model, optimizer, *geo, mesh=mesh,
-                compute_dtype=compute_dtype)
-            self._train_scan = (
-                scan_builder if mesh is None else
-                scan_builder(self.params, self.opt_state, self.state))
+            if self.is_gan:
+                from msnv_tpu.training.gan import (
+                    make_gan_train_block_scan, make_gan_train_step_indexed)
+                if mesh is None:
+                    self._step_indexed = make_gan_train_step_indexed(
+                        cfg.model, cfg.train, optimizer, self.disc_opt,
+                        *geo, compute_dtype=compute_dtype)
+                else:
+                    self._step_indexed = None  # block scan only
+                scan_builder = make_gan_train_block_scan(
+                    cfg.model, cfg.train, optimizer, self.disc_opt, *geo,
+                    mesh=mesh, compute_dtype=compute_dtype)
+                self._train_scan = (
+                    scan_builder if mesh is None else
+                    scan_builder(*self._gan_templates()))
+            else:
+                from msnv_tpu.training.step import (make_train_block_scan,
+                                                    make_train_step_indexed)
+                if mesh is None:
+                    self._step_indexed = make_train_step_indexed(
+                        cfg.model, optimizer, *geo,
+                        compute_dtype=compute_dtype)
+                else:
+                    self._step_indexed = None  # block scan only
+                # multi-step executable: one dispatch + one loss fetch per
+                # scan_block chunks (the per-step path stays for runs with
+                # mid-epoch interval savers)
+                scan_builder = make_train_block_scan(
+                    cfg.model, optimizer, *geo, mesh=mesh,
+                    compute_dtype=compute_dtype)
+                self._train_scan = (
+                    scan_builder if mesh is None else
+                    scan_builder(self.params, self.opt_state, self.state))
+
+    def _gan_templates(self):
+        """(params, disc, main_opt, disc_opt, state) sharding templates."""
+        return (self.params, self.disc_params, self.opt_state,
+                self.disc_opt_state, self.state)
 
     def _want_device_corpus(self, loader) -> bool:
         if self.device_corpus in (False, "false"):
@@ -142,10 +166,7 @@ class Trainer:
                 jnp.asarray(chunk.data), jnp.asarray(chunk.reset),
                 jnp.asarray(chunk.target), jnp.asarray(chunk.cond),
                 jnp.asarray(chunk.spk))
-            self.stats.setdefault("disc_loss", {})["last"] = float(
-                metrics["disc_loss"])
-            self.stats.setdefault("lambda", {})["last"] = float(
-                metrics["lambda"])
+            self._record_gan_metrics(metrics, scalar=True)
             return metrics["loss"]
         self.params, self.opt_state, self.state, loss = self._step(
             self.params, self.opt_state, self.state,
@@ -164,6 +185,47 @@ class Trainer:
         return not any(getattr(p, "needs_sync_state", False)
                        for p in self.plugins)
 
+    def _record_gan_metrics(self, metrics, scalar=False):
+        """Track disc_loss / lambda stats (last value of the step/block)."""
+        for name in ("disc_loss", "lambda"):
+            v = metrics[name] if scalar else metrics[name][-1]
+            self.stats.setdefault(name, {})["last"] = float(v)
+
+    def _run_scan_block(self, ks) -> np.ndarray:
+        """One multi-step executable dispatch; returns per-chunk losses."""
+        if self.is_gan:
+            (self.params, self.disc_params, self.opt_state,
+             self.disc_opt_state, self.state, metrics) = self._train_scan(
+                self.params, self.disc_params, self.opt_state,
+                self.disc_opt_state, self.state,
+                jnp.asarray(float(self.iterations)),
+                self._corpus_dev, jnp.asarray(ks))
+            self._record_gan_metrics(metrics)
+            return np.asarray(metrics["loss"])
+        (self.params, self.opt_state, self.state,
+         losses) = self._train_scan(
+            self.params, self.opt_state, self.state,
+            self._corpus_dev, jnp.asarray(ks))
+        return np.asarray(losses)
+
+    def _run_step_indexed(self, k):
+        """One indexed device-corpus step; returns the chunk loss."""
+        if self.is_gan:
+            (self.params, self.disc_params, self.opt_state,
+             self.disc_opt_state, self.state,
+             metrics) = self._step_indexed(
+                self.params, self.disc_params, self.opt_state,
+                self.disc_opt_state, self.state,
+                jnp.asarray(float(self.iterations)),
+                self._corpus_dev, np.int32(k))
+            self._record_gan_metrics(metrics, scalar=True)
+            return metrics["loss"]
+        (self.params, self.opt_state, self.state,
+         loss) = self._step_indexed(
+            self.params, self.opt_state, self.state,
+            self._corpus_dev, np.int32(k))
+        return loss
+
     def train_epoch(self, start_chunk: int = 0):
         """One epoch. When allowed, the loss fetch is pipelined one step
         behind the device: step k+1 is dispatched BEFORE float(loss_k)
@@ -180,35 +242,21 @@ class Trainer:
             n_full = (len(ks) // self.scan_block) * self.scan_block
             for i in range(0, n_full, self.scan_block):
                 blk = ks[i:i + self.scan_block]
-                (self.params, self.opt_state, self.state,
-                 losses) = self._train_scan(
-                    self.params, self.opt_state, self.state,
-                    self._corpus_dev, jnp.asarray(blk))
-                for k, loss in zip(blk, np.asarray(losses)):
+                for k, loss in zip(blk, self._run_scan_block(blk)):
                     self._flush_iteration(int(k), loss)
             rest = ks[n_full:]
             if len(rest) and self._step_indexed is not None:
                 for k in rest:
-                    (self.params, self.opt_state, self.state,
-                     loss) = self._step_indexed(
-                        self.params, self.opt_state, self.state,
-                        self._corpus_dev, np.int32(k))
+                    loss = self._run_step_indexed(k)
                     self._flush_iteration(int(k), loss)
             elif len(rest):
-                (self.params, self.opt_state, self.state,
-                 losses) = self._train_scan(
-                    self.params, self.opt_state, self.state,
-                    self._corpus_dev, jnp.asarray(rest))
-                for k, loss in zip(rest, np.asarray(losses)):
+                for k, loss in zip(rest, self._run_scan_block(rest)):
                     self._flush_iteration(int(k), loss)
         elif self._step_indexed is not None:
             # interval savers need per-step state visibility (mesh runs
             # with interval savers use the host-sliced loop below)
             for k in range(start_chunk, len(self.loader)):
-                (self.params, self.opt_state, self.state,
-                 loss) = self._step_indexed(
-                    self.params, self.opt_state, self.state,
-                    self._corpus_dev, np.int32(k))
+                loss = self._run_step_indexed(k)
                 self._flush_iteration(k, loss)
         else:
             for chunk in self.loader.epoch(start_chunk=start_chunk):
