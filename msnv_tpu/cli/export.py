@@ -42,6 +42,12 @@ def main(argv=None):
     p.add_argument("--spk_mix", action="store_true",
                    help="float speaker-mixing ABI (eigen-voice) instead "
                         "of int32 speaker ids")
+    p.add_argument("--stream", default=None,
+                   help="comma list of frames_per_push values to export "
+                        "as 1-lane streaming init+push executables (e.g. "
+                        "'1,4'); lets msnv-serve --artifact drive /stream "
+                        "without live jit — include both the server's "
+                        "frames_per_push and 1 (trailing frames)")
     p.add_argument("--platforms", default=None,
                    help="comma list (e.g. tpu,cpu); default: current "
                         "backend")
@@ -81,6 +87,10 @@ def main(argv=None):
     state, _meta = load_any(args.model, {"params": params})
     params = state["params"] if "params" in state else state
 
+    stream_buckets = None
+    if args.stream:
+        stream_buckets = [(1, int(k)) for k in args.stream.split(",") if k]
+
     import jax.numpy as jnp
     manifest = save_artifact(
         args.out, cfg, [(b, n_frames) for b in lanes],
@@ -89,7 +99,7 @@ def main(argv=None):
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         spk_mix=args.spk_mix,
         platforms=args.platforms.split(",") if args.platforms else None,
-        params=params)
+        params=params, stream_buckets=stream_buckets)
     import json
     import os
     print(json.dumps({"artifact": args.out,
@@ -97,7 +107,8 @@ def main(argv=None):
                       "tag": manifest["tag"],
                       "engine": manifest["engine"],
                       "platforms": manifest["platforms"],
-                      "buckets": manifest["buckets"]}))
+                      "buckets": manifest["buckets"],
+                      "streams": manifest["streams"]}))
     return 0
 
 

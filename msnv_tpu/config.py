@@ -222,7 +222,12 @@ def _as_type(value: str, like):
     # come from the short-lived earlier scheme that encoded '/' as a bare
     # '+' — decode it as '/' so directories written under that scheme
     # still round-trip (resume finds them instead of silently restarting).
+    # Limitation (inherent to the legacy scheme, not the decoder): a
+    # legacy-encoded path component that STARTS with 'p' or 's' (e.g.
+    # 'a/path' -> 'a+path') is indistinguishable from the new escapes and
+    # mis-decodes ('a+ath'); the fallback warns so that's discoverable.
     out, i = [], 0
+    legacy = False
     while i < len(value):
         c = value[i]
         if c == "+":
@@ -236,11 +241,21 @@ def _as_type(value: str, like):
                 i += 2
                 continue
             out.append("/")   # legacy bare-'+' escape
+            legacy = True
             i += 1
             continue
         out.append(c)
         i += 1
-    return "".join(out)
+    decoded = "".join(out)
+    if legacy:
+        import warnings
+        warnings.warn(
+            f"tag value {value!r} used the legacy bare-'+' path escape; "
+            f"decoded as {decoded!r}. If the original path had a '+' "
+            f"followed by 'p'/'s' this decode is wrong — re-create the "
+            f"experiment directory under the current tag scheme.",
+            stacklevel=2)
+    return decoded
 
 
 def tag_from_checkpoint_path(path: str) -> str:

@@ -42,6 +42,18 @@ from msnv_tpu.data.wavio import pcm16_bytes, wav_bytes
 SAMPLE_RATE = 16000
 
 
+class Overloaded(Exception):
+    """Raised when the concurrent-stream cap is hit (HTTP 429)."""
+
+
+class _TooLarge(Exception):
+    """Request body over the handler's max_body cap (HTTP 413)."""
+
+    def __init__(self, length: int):
+        super().__init__(length)
+        self.length = length
+
+
 class _Batcher:
     """Leader-follower dynamic batching: concurrent requests of the same
     (frames, temperature, speaker-kind) group coalesce into ONE device
@@ -113,7 +125,7 @@ class VocoderService:
     def __init__(self, params, cfg: ModelConfig, temperature_default=1.0,
                  frame_bucket: int = 16, frames_per_push: int = 1,
                  max_batch: int = 1, linger_ms: float = 10.0,
-                 name: str = "msnv", artifact=None):
+                 max_streams: int = 8, name: str = "msnv", artifact=None):
         self.params = params
         self.cfg = cfg
         # AOT generation artifact (msnv_tpu/export.py): requests whose
@@ -144,6 +156,12 @@ class VocoderService:
         self._batcher = (_Batcher(self._run_group, max_batch,
                                   linger_ms / 1000.0)
                          if max_batch > 1 else None)
+        # concurrent-stream cap: each open /stream holds device state and
+        # an HTTP thread for its whole lifetime — without a cap a client
+        # can pin unbounded threads/carries. Excess requests get 429.
+        self.max_streams = int(max_streams)
+        self._stream_slots = threading.BoundedSemaphore(
+            max(self.max_streams, 1))
 
     @staticmethod
     def _validate_artifact(artifact, cfg: ModelConfig) -> None:
@@ -175,8 +193,20 @@ class VocoderService:
         backend = jax.default_backend()
         platforms = artifact.manifest.get("platforms") or []
         # jax.default_backend() says 'gpu' for either CUDA or ROCm, while
-        # jax.export names the lowering target 'cuda'/'rocm'
-        accepted = {"gpu": ("gpu", "cuda", "rocm")}.get(backend, (backend,))
+        # jax.export names the lowering target 'cuda'/'rocm'; narrow by
+        # the device kind string where the vendor is identifiable so a
+        # ROCm artifact can't pass startup validation on a CUDA host
+        # (unidentifiable kinds accept both and fail at first call)
+        if backend == "gpu":
+            kind = jax.devices()[0].device_kind.lower()
+            if "nvidia" in kind or "tesla" in kind:
+                accepted = ("gpu", "cuda")
+            elif "amd" in kind or "instinct" in kind:
+                accepted = ("gpu", "rocm")
+            else:
+                accepted = ("gpu", "cuda", "rocm")
+        else:
+            accepted = (backend,)
         if not any(p in platforms for p in accepted):
             want = "cuda" if backend == "gpu" else backend
             raise ValueError(
@@ -216,7 +246,10 @@ class VocoderService:
                 "frames_per_push": self.frames_per_push,
                 "max_batch": (self._batcher.max_batch
                               if self._batcher else 1),
+                "max_streams": self.max_streams,
                 "artifact_buckets": (list(self.artifact.buckets)
+                                     if self.artifact else None),
+                "artifact_streams": (list(self.artifact.stream_buckets)
                                      if self.artifact else None)}
 
     # -- batch synthesis ---------------------------------------------------
@@ -314,7 +347,25 @@ class VocoderService:
 
     # -- streaming synthesis ----------------------------------------------
 
-    def _stream_push(self, temperature, k):
+    def _stream_push(self, temperature, k, spk_kind="i"):
+        """(init_state(batch, spk, key), push(carry, cond)) for K-frame
+        pushes. Prefers the artifact's exported streaming executables
+        (no tracing on the serving host); falls back to live jit."""
+        art = self.artifact
+        if (art is not None
+                and temperature == art.manifest["temperature"]
+                and art.manifest["spk_mix"] == (spk_kind == "f")
+                and art.has_stream(1, k)):
+            a_init, a_push = art.streaming(k, lanes=1)
+
+            def init_state(batch, spk, key):
+                assert batch == 1, "exported stream buckets are 1-lane"
+                return a_init(self.params, spk, key)
+
+            def push(carry, cond):
+                return a_push(self.params, carry, cond)
+
+            return init_state, push
         from msnv_tpu.models.generate import streaming_fn
         with self._lock:
             if (temperature, k) not in self._stream_cache:
@@ -328,11 +379,30 @@ class VocoderService:
         """Yield PCM16 chunks as frame groups are generated. Trailing
         frames beyond a multiple of `frames_per_push` finish with 1-frame
         pushes (the carry pytree is compatible across push widths, and a
-        K-frame push is sample-exact vs K single pushes)."""
+        K-frame push is sample-exact vs K single pushes).
+
+        Raises Overloaded (HTTP 429) beyond `max_streams` concurrent
+        streams; the slot is released when the generator finishes or is
+        closed (client disconnect included)."""
+        args = self._parse(body)   # 400s must not consume a slot
+        if self.max_streams <= 0 or \
+                not self._stream_slots.acquire(blocking=False):
+            raise Overloaded(
+                f"too many concurrent streams (cap {self.max_streams})")
+
+        def released():
+            try:
+                yield from self._stream_iter(*args)
+            finally:
+                self._stream_slots.release()
+
+        return released()
+
+    def _stream_iter(self, cond, spk, temperature, seed):
         import jax
-        cond, spk, temperature, seed = self._parse(body)
+        kind = "f" if np.asarray(spk).dtype.kind == "f" else "i"
         K = self.frames_per_push
-        init_state, push = self._stream_push(temperature, K)
+        init_state, push = self._stream_push(temperature, K, kind)
         carry = init_state(1, spk, jax.random.PRNGKey(seed))
         n = cond.shape[0]
         for start in range(0, n - n % K, K):
@@ -342,7 +412,10 @@ class VocoderService:
                     carry, block[None] if K > 1 else block[None, 0])
             yield pcm16_bytes(np.asarray(audio)[0])
         if n % K:
-            _, push1 = self._stream_push(temperature, 1)
+            # the artifact and live carries are representation-compatible
+            # (same pytree, raw uint32 key data), so trailing 1-frame
+            # pushes may come from either source
+            _, push1 = self._stream_push(temperature, 1, kind)
             for j in range(n - n % K, n):
                 with self._lock:
                     carry, audio, _ = push1(carry, cond[None, j])
@@ -354,6 +427,13 @@ class _Handler(BaseHTTPRequestHandler):
     # chunked transfer (used by /stream) does not exist in HTTP/1.0;
     # version-keyed clients would read the hex chunk framing as audio
     protocol_version = "HTTP/1.1"
+    # robustness envelope (make_server overrides): a socket read/write
+    # blocking past `timeout` seconds kills the connection instead of
+    # pinning its thread forever; request bodies above max_body get 413
+    # without being read (1 h of 86-dim conditioners ≈ 25 MB of JSON,
+    # so 64 MB is generous)
+    timeout = 60.0           # socketserver read timeout (settimeout)
+    max_body = 64 << 20
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -363,11 +443,13 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(data + b"\r\n")
         self.wfile.flush()
 
-    def _json(self, code: int, obj: dict):
+    def _json(self, code: int, obj: dict, close: bool = False):
         data = json.dumps(obj).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(data)))
+        if close:
+            self.send_header("Connection", "close")  # sets close_connection
         self.end_headers()
         self.wfile.write(data)
 
@@ -379,11 +461,20 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _body(self):
         length = int(self.headers.get("Content-Length", 0))
+        if length > self.max_body:
+            raise _TooLarge(length)
         return json.loads(self.rfile.read(length) or b"{}")
 
     def do_POST(self):
         try:
             body = self._body()
+        except _TooLarge as e:
+            # don't read the oversized body; close so the client can't
+            # keep pumping it into a dead keep-alive connection
+            return self._json(413, {"error": f"request body {e.length} "
+                                             f"bytes exceeds cap "
+                                             f"{self.max_body}"},
+                              close=True)
         except (ValueError, json.JSONDecodeError) as e:
             return self._json(400, {"error": f"bad JSON: {e}"})
         try:
@@ -418,15 +509,21 @@ class _Handler(BaseHTTPRequestHandler):
                 self.wfile.write(b"0\r\n\r\n")
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
+        except Overloaded as e:
+            self._json(429, {"error": str(e)})
         except (KeyError, ValueError, TypeError) as e:
             self._json(400, {"error": str(e)})
 
 
 def make_server(service: VocoderService, host: str = "127.0.0.1",
-                port: int = 0) -> ThreadingHTTPServer:
+                port: int = 0, timeout_s: float = 60.0,
+                max_body: int = 64 << 20) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; .server_address has the bound
     port when port=0. Call .serve_forever() (e.g. in a thread)."""
-    handler = type("BoundHandler", (_Handler,), {"service": service})
+    handler = type("BoundHandler", (_Handler,),
+                   {"service": service,
+                    "timeout": float(timeout_s),
+                    "max_body": int(max_body)})
     return ThreadingHTTPServer((host, port), handler)
 
 
@@ -457,6 +554,12 @@ def main(argv=None):
                         "requests into one device call")
     p.add_argument("--linger_ms", type=float, default=10.0,
                    help="max wait for co-batchable requests")
+    p.add_argument("--max_streams", type=int, default=8,
+                   help="concurrent /stream cap (excess gets 429)")
+    p.add_argument("--timeout_s", type=float, default=60.0,
+                   help="per-connection socket read/write timeout")
+    p.add_argument("--max_body_mb", type=float, default=64.0,
+                   help="request body size cap (413 beyond it)")
     p.add_argument("--artifact", default=None,
                    help="AOT generation artifact from msnv-export: "
                         "matching requests run the exported executable "
@@ -483,8 +586,11 @@ def main(argv=None):
                              frames_per_push=args.frames_per_push,
                              max_batch=args.max_batch,
                              linger_ms=args.linger_ms,
+                             max_streams=args.max_streams,
                              name=tag, artifact=artifact)
-    server = make_server(service, args.host, args.port)
+    server = make_server(service, args.host, args.port,
+                         timeout_s=args.timeout_s,
+                         max_body=int(args.max_body_mb * (1 << 20)))
     print(f"serving {tag} on http://{args.host}:"
           f"{server.server_address[1]}")
     server.serve_forever()

@@ -252,8 +252,13 @@ class CheckpointManager:
         if jax.process_count() > 1:
             import numpy as _np
             from jax.experimental import multihost_utils
-            self._best_loss = float(multihost_utils.broadcast_one_to_all(
-                _np.asarray(self._best_loss, _np.float32)))
+            # broadcast the float64 losslessly as its uint64 bit pattern
+            # (an f32 cast would round _best_loss on every host, letting a
+            # resumed run mis-rank a loss within f32 epsilon of the best)
+            bits = multihost_utils.broadcast_one_to_all(
+                _np.asarray(self._best_loss, _np.float64).view(_np.uint64))
+            self._best_loss = float(
+                _np.asarray(bits, _np.uint64).view(_np.float64))
 
     def _save(self, path, state, meta):
         if self.backend == "orbax":

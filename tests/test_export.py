@@ -151,3 +151,65 @@ def test_export_cli(tiny_checkpoint, tmp_path):
     audio, seq = art.call(params, cond, spk, jax.random.PRNGKey(1))
     assert np.asarray(audio).shape == (2, 2 * m.lookback)
     assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_stream_artifact_matches_live(tiny, tmp_path):
+    """Exported streaming init+push executables reproduce the live
+    streaming_fn sample-exactly, including a K-push followed by 1-frame
+    pushes on the SAME carry (the serving trailing-frames path)."""
+    from msnv_tpu.models.generate import streaming_fn
+
+    cfg, params = tiny
+    m = cfg.model
+    path = os.path.join(tmp_path, "s.msnvx")
+    manifest = save_artifact(path, cfg, [], params=params,
+                             stream_buckets=[(1, 1), (1, 2)])
+    assert [(e["lanes"], e["frames_per_push"]) for e in
+            manifest["streams"]] == [(1, 1), (1, 2)]
+    art = load_artifact(path)
+    assert art.stream_buckets == [(1, 1), (1, 2)]
+
+    rng = np.random.RandomState(0)
+    frames = 5
+    cond = jnp.asarray(rng.rand(1, frames, m.effective_cond_dim),
+                       jnp.float32)
+    spk = jnp.zeros((1,), jnp.int32)
+    key = jax.random.PRNGKey(4)
+
+    # live reference: K=2 pushes then a 1-frame tail
+    li2, lp2 = streaming_fn(params, m, frames_per_push=2)
+    _, lp1 = streaming_fn(params, m, frames_per_push=1)
+    carry = li2(1, spk, key)
+    live = []
+    for s in range(0, 4, 2):
+        carry, _, smp = lp2(carry, cond[:, s:s + 2])
+        live.append(np.asarray(smp))
+    carry, _, smp = lp1(carry, cond[:, 4])
+    live.append(np.asarray(smp))
+
+    ai2, ap2 = art.streaming(2)
+    _, ap1 = art.streaming(1)
+    carry = ai2(params, spk, key)
+    got = []
+    for s in range(0, 4, 2):
+        carry, _, smp = ap2(params, carry, cond[:, s:s + 2])
+        got.append(np.asarray(smp))
+    carry, _, smp = ap1(params, carry, cond[:, 4])
+    got.append(np.asarray(smp))
+
+    for a, b in zip(got, live):
+        np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(KeyError, match="no stream bucket"):
+        art.streaming(7)
+
+
+def test_export_cli_stream(tiny_checkpoint, tmp_path):
+    out = os.path.join(tmp_path, "cs.msnvx")
+    from msnv_tpu.cli.export import main as export_main
+    export_main(["--model", tiny_checkpoint, "--out", out,
+                 "--lanes", "1", "--frames", "2", "--frame_bucket", "1",
+                 "--stream", "1,2"])
+    art = load_artifact(out)
+    assert art.stream_buckets == [(1, 1), (1, 2)]
+    assert art.buckets == [(1, 2)]

@@ -351,3 +351,133 @@ def test_service_rejects_degenerate_buckets():
         VocoderService(params, CFG, frame_bucket=0)
     with pytest.raises(ValueError, match="frames_per_push"):
         VocoderService(params, CFG, frames_per_push=0)
+
+
+def test_artifact_backed_stream(tmp_path_factory):
+    """A server holding stream-bucket exports serves /stream from the
+    AOT executables — byte-identical PCM to the live-jit server — and
+    never touches the live streaming jit cache (the cold-start path:
+    first audio right after artifact load, no tracing)."""
+    import os
+    from msnv_tpu.export import load_artifact, save_artifact
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    art_path = os.path.join(tmp_path_factory.mktemp("sart"), "s.msnvx")
+    # both the server's frames_per_push (2) and the 1-frame tail bucket
+    save_artifact(art_path, CFG, [], params=params,
+                  stream_buckets=[(1, 1), (1, 2)])
+    artifact = load_artifact(art_path)
+
+    def run(service):
+        srv = make_server(service, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            # 5 frames = two 2-pushes + a 1-frame tail
+            r = _post(srv.server_address, "/stream",
+                      {"cond": _cond(5, seed=8), "spk": 1, "seed": 4})
+            assert r.status == 200
+            return r.read()
+        finally:
+            srv.shutdown()
+
+    svc_art = VocoderService(params, CFG, frames_per_push=2,
+                             artifact=artifact, name="art")
+    pcm_art = run(svc_art)
+    assert svc_art._stream_cache == {}, (
+        "artifact-backed /stream must not populate the live jit cache")
+    svc_live = VocoderService(params, CFG, frames_per_push=2, name="live")
+    pcm_live = run(svc_live)
+    assert svc_live._stream_cache != {}
+    assert pcm_art == pcm_live
+    assert len(pcm_art) == 5 * CFG.lookback * 2   # PCM16
+
+
+def test_body_size_cap_413():
+    """Oversized request bodies are rejected by Content-Length before
+    being read (413), and the connection is closed."""
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    service = VocoderService(params, CFG, name="cap")
+    srv = make_server(service, port=0, max_body=1024)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = _conn(srv.server_address)
+        # claim a huge body but only send a little: the cap must fire on
+        # the declared length, without waiting for the payload
+        c.putrequest("POST", "/synthesize")
+        c.putheader("Content-Type", "application/json")
+        c.putheader("Content-Length", str(10 << 20))
+        c.endheaders()
+        c.send(b"{")
+        r = c.getresponse()
+        assert r.status == 413
+        assert "exceeds cap" in json.loads(r.read())["error"]
+        assert r.getheader("Connection") == "close"
+        # a normal-size request on a fresh connection still works
+        r2 = _post(srv.server_address, "/synthesize",
+                   {"cond": _cond(4), "spk": 0})
+        assert r2.status == 200
+    finally:
+        srv.shutdown()
+
+
+def test_stream_cap_429_and_slot_release():
+    """Beyond max_streams concurrent streams -> Overloaded/429; closing a
+    stream releases its slot; parse errors never consume slots."""
+    from msnv_tpu.serving import Overloaded
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    svc = VocoderService(params, CFG, max_streams=1, name="caps")
+    body = {"cond": _cond(3), "spk": 0}
+    g1 = svc.stream(body)
+    next(g1)                      # stream active, slot held
+    with pytest.raises(Overloaded):
+        svc.stream(body)
+    # bad requests while saturated still raise their 400-class error,
+    # not Overloaded, and don't leak slots
+    with pytest.raises(ValueError):
+        svc.stream({"cond": [[0.0]], "spk": 0})
+    g1.close()                    # client disconnect path
+    g2 = svc.stream(body)         # slot released
+    assert next(g2)
+    g2.close()
+
+    # HTTP mapping: a saturated server answers 429
+    svc0 = VocoderService(params, CFG, max_streams=0, name="none")
+    srv = make_server(svc0, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        r = _post(srv.server_address, "/stream", body)
+        assert r.status == 429
+        assert "concurrent streams" in json.loads(r.read())["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_read_timeout_drops_stalled_connection():
+    """A connection that stalls mid-request is dropped after timeout_s
+    instead of pinning its handler thread forever."""
+    import socket
+    import time
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    service = VocoderService(params, CFG, name="to")
+    srv = make_server(service, port=0, timeout_s=0.5)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = _conn(srv.server_address)
+        c.putrequest("POST", "/synthesize")
+        c.putheader("Content-Type", "application/json")
+        c.putheader("Content-Length", "100")
+        c.endheaders()            # ...and never send the body
+        t0 = time.monotonic()
+        with pytest.raises((http.client.BadStatusLine, ConnectionError,
+                            socket.timeout)):
+            c.getresponse()
+            raise ConnectionError("server kept the stalled socket open")
+        assert time.monotonic() - t0 < 30
+    finally:
+        srv.shutdown()
