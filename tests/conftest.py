@@ -24,3 +24,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# Fast iteration tier: `pytest -m core` runs the correctness backbone
+# (reference parity, quantizers, data pipeline windowing, config
+# round-trip, train-step loss math) in ~90 s on a 2-vCPU box — the full
+# suite takes >10 min. Marked per-module here so the tier stays a
+# one-line list.
+_CORE_MODULES = {
+    "test_quantize", "test_config", "test_interpolate", "test_xent",
+    "test_reference_parity", "test_data_pipeline",
+}
+
+
+def pytest_collection_modifyitems(items):
+    import pytest as _pytest
+    for item in items:
+        if item.module.__name__ in _CORE_MODULES \
+                and "slow" not in item.keywords:
+            item.add_marker(_pytest.mark.core)
