@@ -165,6 +165,50 @@ def f0_metrics(f0_ref: np.ndarray, voiced_ref: np.ndarray,
             "n_frames": int(n), "n_both_voiced": int(both.sum())}
 
 
+def saturation_bursts(audio: np.ndarray, sr: int = 16000, win: int = 160,
+                      rms_thresh: float = 0.5, clip_thresh: float = 0.99,
+                      min_run_s: float = 0.05) -> dict:
+    """Detect the thesis's known generation failure mode: sustained
+    high-energy noise bursts, sometimes ~9,500 samples (~0.6 s) long
+    (ref doc/Barbany_report.pdf §4.3, fig 4.1 via SURVEY.md §6).
+
+    Energy-run-length metric: windowed RMS (win samples, hop = win); a
+    *burst* is a run of >= min_run_s seconds of consecutive windows whose
+    RMS exceeds rms_thresh (natural speech peaks that high only
+    transiently — a µ-law saturation burst pins near full scale for
+    hundreds of ms). Also reports the clipped-sample fraction
+    (|x| >= clip_thresh), the steady-state symptom.
+
+    Returns {"burst_fraction": fraction of audio inside bursts,
+             "n_bursts", "longest_burst_s", "clip_fraction"}. All zeros on
+    healthy audio — tracked per epoch so a run that starts saturating is
+    visible in the stats, not just audible.
+    """
+    audio = np.asarray(audio, np.float64).reshape(-1)
+    n_win = len(audio) // win
+    out = {"burst_fraction": 0.0, "n_bursts": 0, "longest_burst_s": 0.0,
+           "clip_fraction": 0.0}
+    if n_win == 0:
+        return out
+    out["clip_fraction"] = float(
+        (np.abs(audio) >= clip_thresh).mean())
+    x = audio[:n_win * win].reshape(n_win, win)
+    rms = np.sqrt((x ** 2).mean(axis=1))
+    hot = rms > rms_thresh
+    min_run = max(1, int(round(min_run_s * sr / win)))
+    # run lengths of consecutive hot windows
+    edges = np.flatnonzero(np.diff(np.concatenate(([0], hot.view(np.int8),
+                                                   [0]))))
+    starts, ends = edges[::2], edges[1::2]
+    runs = ends - starts
+    bursts = runs[runs >= min_run]
+    if len(bursts):
+        out["n_bursts"] = int(len(bursts))
+        out["burst_fraction"] = float(bursts.sum() * win / len(audio))
+        out["longest_burst_s"] = float(bursts.max() * win / sr)
+    return out
+
+
 def evaluate_pair(ref_audio: np.ndarray, gen_audio: np.ndarray,
                   sr: int = 16000, hop: int = 80, n_mfcc: int = 25,
                   **f0_kwargs) -> dict:
@@ -181,4 +225,7 @@ def evaluate_pair(ref_audio: np.ndarray, gen_audio: np.ndarray,
     fo = f0_metrics(fr, vr, fg, vg)
     fo["n_frames_f0"] = fo.pop("n_frames")
     out.update(fo)
+    # generated-audio-only health metric (the reference recording is
+    # assumed saturation-free)
+    out.update(saturation_bursts(gen_audio, sr=sr))
     return out

@@ -254,9 +254,15 @@ class ObjectiveMetricsPlugin(Plugin):
         self.compute_dtype = compute_dtype
         self._gen = None
 
+    #: scored fields; burst_fraction is the thesis-§4.3 saturation-burst
+    #: detector (eval/metrics.saturation_bursts) so a run that starts
+    #: emitting high-energy noise bursts is visible in stats, not just
+    #: audible in samples
+    FIELDS = ("mcd_db", "f0_rmse_hz", "vuv_error_rate", "burst_fraction")
+
     def register(self, trainer):
         super().register(trainer)
-        for f in ("mcd_db", "f0_rmse_hz", "vuv_error_rate"):
+        for f in self.FIELDS:
             trainer.stats.setdefault(f, {"log_format": ":.3f"})
 
     def epoch(self, epoch_index: int):
@@ -264,7 +270,7 @@ class ObjectiveMetricsPlugin(Plugin):
         if epoch_index % self.every:
             # clear 'last' on unscored epochs so Logger/StatsPlugin record
             # None, not a stale score replayed as if freshly measured
-            for f in ("mcd_db", "f0_rmse_hz", "vuv_error_rate"):
+            for f in self.FIELDS:
                 t.stats[f]["last"] = None
             return
         import jax
@@ -281,7 +287,7 @@ class ObjectiveMetricsPlugin(Plugin):
         scores = [evaluate_pair(self.ref_audio[i], audio[i],
                                 sr=self.sample_rate, hop=self.hop)
                   for i in range(audio.shape[0])]
-        for f in ("mcd_db", "f0_rmse_hz", "vuv_error_rate"):
+        for f in self.FIELDS:
             vals = [s[f] for s in scores if np.isfinite(s[f])]
             if vals:
                 t.stats[f]["last"] = float(np.mean(vals))

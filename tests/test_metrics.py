@@ -196,3 +196,59 @@ def test_metrics_cli_no_pairs(tmp_path, capsys):
     ref_dir = tmp_path / "ref"
     ref_dir.mkdir()
     assert main(["--gen", str(gen_dir), "--ref", str(ref_dir)]) == 1
+
+
+def test_saturation_burst_detector():
+    """Energy-run-length detector for the thesis-§4.3 failure mode:
+    clean speech-like audio scores zero; a sustained full-scale noise
+    burst (~9,500 samples, the thesis's reported length) is found with
+    the right duration; transient peaks do NOT count."""
+    from msnv_tpu.eval.metrics import saturation_bursts
+
+    sr = 16000
+    rng = np.random.RandomState(0)
+    t = np.arange(4 * sr) / sr
+    clean = (0.3 * np.sin(2 * np.pi * 150 * t)
+             * (0.5 + 0.5 * np.sin(2 * np.pi * 2 * t))).astype(np.float32)
+    out = saturation_bursts(clean, sr=sr)
+    assert out == {"burst_fraction": 0.0, "n_bursts": 0,
+                   "longest_burst_s": 0.0, "clip_fraction": 0.0}
+
+    # inject one 9,500-sample full-scale noise burst
+    burst = clean.copy()
+    n_burst = 9500
+    burst[sr:sr + n_burst] = np.clip(
+        rng.randn(n_burst).astype(np.float32), -1, 1)
+    out = saturation_bursts(burst, sr=sr)
+    assert out["n_bursts"] == 1
+    assert out["longest_burst_s"] == pytest.approx(n_burst / sr, abs=0.02)
+    assert out["burst_fraction"] == pytest.approx(n_burst / len(burst),
+                                                  abs=0.01)
+    # ~32% of the clipped-gaussian burst sits at |x|>=0.99, diluted over
+    # the whole 4 s signal: 9500*0.32/64000 ~ 0.047
+    assert out["clip_fraction"] == pytest.approx(0.047, abs=0.02)
+
+    # a transient loud click (< min_run_s) is not a burst
+    click = clean.copy()
+    click[sr:sr + 300] = 1.0
+    out = saturation_bursts(click, sr=sr)
+    assert out["n_bursts"] == 0 and out["burst_fraction"] == 0.0
+
+    # two separated bursts count separately
+    two = clean.copy()
+    two[sr:sr + 2000] = 0.9
+    two[2 * sr:2 * sr + 3000] = -0.9
+    out = saturation_bursts(two, sr=sr)
+    assert out["n_bursts"] == 2
+    assert out["longest_burst_s"] == pytest.approx(3000 / sr, abs=0.02)
+
+
+def test_evaluate_pair_includes_burst_metrics():
+    from msnv_tpu.eval.metrics import evaluate_pair
+    sr = 16000
+    t = np.arange(sr) / sr
+    ref = (0.3 * np.sin(2 * np.pi * 150 * t)).astype(np.float32)
+    out = evaluate_pair(ref, ref, sr=sr)
+    assert out["burst_fraction"] == 0.0
+    assert out["n_bursts"] == 0
+    assert out["clip_fraction"] == 0.0
