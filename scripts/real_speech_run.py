@@ -118,6 +118,10 @@ def main():
                    help="model width: 1024 = canonical (60M params, "
                         "heavily over-parameterized for 127 s); smaller "
                         "dims probe the capacity/data trade-off")
+    p.add_argument("--norm_ind", default="true",
+                   help="per-speaker (true) vs joint (false) conditioner "
+                        "normalization — the thesis's headline ablation "
+                        "(doc/paper.pdf Table 1)")
     p.add_argument("--tiny", action="store_true",
                    help="CPU smoke scale (small dim, 2 epochs)")
     args = p.parse_args()
@@ -158,11 +162,13 @@ def main():
     cwd = os.getcwd()
     os.chdir(out)   # npy caches land under out/
     try:
+        norm_ind = args.norm_ind.lower().startswith("t")
         train_main([
             "--exp", "real-speech",
             *model_flags,
             "--cond_len", "80",
-            "--look_ahead", "true", "--norm_ind", "true",
+            "--look_ahead", "true",
+            "--norm_ind", "true" if norm_ind else "false",
             "--ulaw", "true",
             "--cond_source", "mel",
             "--datasets_path", data_dir,
@@ -201,6 +207,8 @@ def main():
         f.write("\n".join(str(i) for i in range(len(names))))
 
     suffix = "" if args.dim == 1024 else f"_dim{args.dim}"
+    if not norm_ind:
+        suffix += "_joint"
     gen_out = os.path.join(out, "gen" + suffix)
     shutil.rmtree(gen_out, ignore_errors=True)
     gen_main([
@@ -208,8 +216,9 @@ def main():
         "--cond_path", os.path.join(data_dir, "wav"),  # mel from waveforms
         "--cond_source", "mel",
         "--cond_list", gen_cond, "--spk_list", gen_spk,
-        "--min_max", os.path.join(data_dir, "npy_datasets",
-                                  "min_max_ind_mel.npy"),
+        "--min_max", os.path.join(
+            data_dir, "npy_datasets",
+            f"min_max_{'ind' if norm_ind else 'joint'}_mel.npy"),
         "--out_dir", gen_out,
     ])
 
@@ -245,6 +254,8 @@ def main():
                   "claim; the source WAVs are themselves outputs of the "
                   "reference's best checkpoint",
         "tiny": args.tiny,
+        "dim": args.dim,
+        "norm_ind": norm_ind,
         "epochs": epochs,
         "corpus_seconds": round(total_s, 1),
         "train_wall_s": round(train_wall, 1),
@@ -258,12 +269,16 @@ def main():
         "copy_synthesis_metrics_mean": {
             k: round(float(np.mean([s[k] for s in pair_scores
                                     if np.isfinite(s[k])])), 3)
-            for k in ("mcd_db", "f0_rmse_hz", "vuv_error_rate")
+            for k in ("mcd_db", "f0_rmse_hz", "vuv_error_rate",
+                      "burst_fraction", "clip_fraction")
             if any(np.isfinite(s[k]) for s in pair_scores)},
         "per_speaker_mcd_db": [round(float(x), 2) for x in mcds],
+        "saturation_bursts_total": int(sum(s["n_bursts"]
+                                           for s in pair_scores)),
         "objective_metrics_trajectory": {
             k: [round(v, 3) for v in stats[k] if v is not None]
-            for k in ("mcd_db", "f0_rmse_hz", "vuv_error_rate")
+            for k in ("mcd_db", "f0_rmse_hz", "vuv_error_rate",
+                      "burst_fraction")
             if k in stats},
     }
     with open(os.path.join(out, f"real_speech_report{suffix}.json"),
