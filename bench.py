@@ -117,6 +117,90 @@ def main():
     train_dt = (time.perf_counter() - t0) / truns
     train_tput = train_batch * seq_len / train_dt
 
+    # ---- GAN-variant training throughput --------------------------------
+    # the heaviest training config (ref run_samplegan.sh: batch 64,
+    # weight_norm, two optimizers + 4-resblock discriminator);
+    # BENCH_GAN=0 skips
+    gan_tput = None
+    if os.environ.get("BENCH_GAN", "1") == "1":
+        import dataclasses as _dc
+        from msnv_tpu.config import preset as _preset
+        from msnv_tpu.models.discriminator import discriminator_init
+        from msnv_tpu.training.gan import make_gan_train_step
+        gcfg = _preset("samplernn_gan")
+        gm = _dc.replace(gcfg.model,
+                         gru_impl=os.environ.get("BENCH_GRU_IMPL",
+                                                 "pallas" if on_tpu
+                                                 else "xla"))
+        gb = int(os.environ.get("BENCH_GAN_BATCH",
+                                str(gcfg.train.batch_size)))
+        gparams = init_params(jax.random.PRNGKey(0), gm)
+        gdisc = discriminator_init(jax.random.PRNGKey(1), gm.spk_dim)
+        gopt = make_optimizer(gcfg.train)
+        gmo, gdo = gopt.init(gparams), gopt.init(gdisc)
+        gstate = init_tier_state(gm, gb)
+        gseq = gcfg.train.seq_len
+        gdata = jnp.asarray(rng.randint(0, 256, (gb, gseq + gm.lookback - 1)),
+                            jnp.int32)
+        gtarget = jnp.asarray(rng.randint(0, 256, (gb, gseq)), jnp.int32)
+        gcond = jnp.asarray(rng.rand(gb, gseq // gm.lookback,
+                                     gm.effective_cond_dim), jnp.float32)
+        gspk = jnp.asarray(rng.randint(0, gm.spk_dim, (gb,)), jnp.int32)
+        gstep = make_gan_train_step(
+            gm, gcfg.train, gopt, gopt, donate=True,
+            compute_dtype=jnp.bfloat16 if train_dtype == "bf16" else None)
+        out = gstep(gparams, gdisc, gmo, gdo, gstate, jnp.asarray(0.0),
+                    gdata, jnp.asarray(True), gtarget, gcond, gspk)
+        float(out[5]["loss"])
+        gp, gd, gmo, gdo, gs = out[:5]
+        t0 = time.perf_counter()
+        gruns = 10
+        for i in range(gruns):
+            out = gstep(gp, gd, gmo, gdo, gs, jnp.asarray(float(i + 1)),
+                        gdata, jnp.asarray(False), gtarget, gcond, gspk)
+            gp, gd, gmo, gdo, gs = out[:5]
+        float(out[5]["loss"])
+        gan_dt = (time.perf_counter() - t0) / gruns
+        gan_tput = gb * gseq / gan_dt
+
+    # ---- interactive (low-batch streaming) envelope ---------------------
+    # The reference's operating point is ONE utterance at a time
+    # (ref generate.py:154-253). Per-stream RTF and first-audio latency
+    # at B in {1,4,16} via the streaming push API (the /stream serving
+    # path). BENCH_INTERACTIVE=0 skips.
+    interactive = {}
+    if os.environ.get("BENCH_INTERACTIVE", "1") == "1":
+        from msnv_tpu.models.generate import streaming_fn
+        for B, K in ((1, 1), (1, 4), (4, 4), (16, 4)):
+            init_state, push = streaming_fn(
+                params, m, frames_per_push=K,
+                compute_dtype=jnp.bfloat16 if on_tpu else None)
+            spk0 = jnp.zeros((B,), jnp.int32)
+            scond = jnp.asarray(
+                rng.rand(B, K, m.effective_cond_dim).squeeze(1) if K == 1
+                else rng.rand(B, K, m.effective_cond_dim), jnp.float32)
+            carry = init_state(B, spk0, jax.random.PRNGKey(0))
+            carry, a, _ = push(carry, scond)      # compile + warm
+            a.block_until_ready()
+            # first-audio latency: fresh state -> first audible samples
+            t0 = time.perf_counter()
+            c2 = init_state(B, spk0, jax.random.PRNGKey(1))
+            _, a, _ = push(c2, scond)
+            a.block_until_ready()
+            first_audio_ms = (time.perf_counter() - t0) * 1e3
+            n = 30
+            t0 = time.perf_counter()
+            for _ in range(n):
+                carry, a, _ = push(carry, scond)
+            a.block_until_ready()
+            dt = (time.perf_counter() - t0) / n
+            audio_s = K * m.lookback / 16000.0
+            interactive[f"B{B}_K{K}"] = {
+                "push_ms": round(dt * 1e3, 2),
+                "stream_rtf": round(audio_s / dt, 2),
+                "first_audio_ms": round(first_audio_ms, 1),
+            }
+
     # ---- vs reference ----------------------------------------------------
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "reference_baseline.json")
@@ -149,6 +233,10 @@ def main():
             "baseline_hw": "reference torch-CPU (see reference_baseline.json)",
         },
     }
+    if interactive:
+        result["extras"]["interactive"] = interactive
+    if gan_tput is not None:
+        result["extras"]["gan_train_samples_per_s"] = round(gan_tput)
     print(json.dumps(result))
 
 
