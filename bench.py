@@ -122,7 +122,9 @@ def main():
     # weight_norm, two optimizers + 4-resblock discriminator);
     # BENCH_GAN=0 skips
     gan_tput = None
+    gan_error = None
     if os.environ.get("BENCH_GAN", "1") == "1":
+      try:
         import dataclasses as _dc
         from msnv_tpu.config import preset as _preset
         from msnv_tpu.models.discriminator import discriminator_init
@@ -162,6 +164,9 @@ def main():
         float(out[5]["loss"])
         gan_dt = (time.perf_counter() - t0) / gruns
         gan_tput = gb * gseq / gan_dt
+      except Exception as e:   # noqa: BLE001 — optional section: a flaky
+        # remote-backend hiccup must not zero the whole bench
+        gan_error = f"{type(e).__name__}: {e}"[:200]
 
     # ---- interactive (low-batch streaming) envelope ---------------------
     # The reference's operating point is ONE utterance at a time
@@ -169,7 +174,9 @@ def main():
     # at B in {1,4,16} via the streaming push API (the /stream serving
     # path). BENCH_INTERACTIVE=0 skips.
     interactive = {}
+    interactive_error = None
     if os.environ.get("BENCH_INTERACTIVE", "1") == "1":
+      try:
         from msnv_tpu.models.generate import streaming_fn
         for B, K in ((1, 1), (1, 4), (4, 4), (16, 4)):
             init_state, push = streaming_fn(
@@ -200,6 +207,8 @@ def main():
                 "stream_rtf": round(audio_s / dt, 2),
                 "first_audio_ms": round(first_audio_ms, 1),
             }
+      except Exception as e:   # noqa: BLE001 — keep partial results
+        interactive_error = f"{type(e).__name__}: {e}"[:200]
 
     # ---- vs reference ----------------------------------------------------
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -235,8 +244,12 @@ def main():
     }
     if interactive:
         result["extras"]["interactive"] = interactive
+    if interactive_error:
+        result["extras"]["interactive_error"] = interactive_error
     if gan_tput is not None:
         result["extras"]["gan_train_samples_per_s"] = round(gan_tput)
+    if gan_error:
+        result["extras"]["gan_error"] = gan_error
     print(json.dumps(result))
 
 

@@ -209,6 +209,8 @@ def main():
     suffix = "" if args.dim == 1024 else f"_dim{args.dim}"
     if not norm_ind:
         suffix += "_joint"
+    if epochs != 150 and not args.tiny:
+        suffix += f"_ep{epochs}"
     gen_out = os.path.join(out, "gen" + suffix)
     shutil.rmtree(gen_out, ignore_errors=True)
     gen_main([
