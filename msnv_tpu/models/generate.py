@@ -426,6 +426,44 @@ def streaming_fn(params, cfg: ModelConfig, compute_dtype=None,
     return init_state, push
 
 
+def streaming_fn_dynamic(cfg: ModelConfig, compute_dtype=None,
+                         use_pallas=False, pallas_opts=None,
+                         frames_per_push=1, temperature=1.0):
+    """streaming_fn with params as a CALL argument.
+
+    streaming_fn bakes the weights into the jitted push as constants; at
+    flagship size that serializes to a ~350 MB executable per (B, K)
+    bucket — heavy on the compile cache, and enough buckets can exhaust
+    a backend's loaded-program arena. Here the jitted push takes
+    (params, carry, cond), so the executable is small, one compile
+    serves changing weights (same cache-key-on-shapes property as
+    generate_fn_dynamic), and the weight prep (cast, weight-norm fold,
+    fused embed table) is traced into the graph where XLA folds what it
+    can. Sample-exact vs streaming_fn for the same key.
+
+    Returns (init_state, push):
+      init_state(params, batch, spk, [key]) -> carry
+      push(params, carry, cond) -> (carry, audio, samples)
+    """
+    _check_temperature(temperature)
+
+    def _build(params):
+        return streaming_fn(params, cfg, compute_dtype, use_pallas,
+                            pallas_opts, frames_per_push, temperature)
+
+    @jax.jit
+    def push(params, carry, cond):
+        # the inner jitted push inlines into this trace; params are
+        # tracers, so nothing is constant-folded into the executable
+        return _build(params)[1](carry, cond)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def init_state(params, batch, spk, key=None):
+        return _build(params)[0](batch, spk, key)
+
+    return init_state, push
+
+
 def generate_fn_dynamic(cfg: ModelConfig, compute_dtype=None,
                         use_pallas=False, pallas_opts=None, unroll=1,
                         temperature=1.0):

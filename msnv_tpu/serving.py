@@ -303,7 +303,7 @@ class VocoderService:
         per-request float audio (trimmed to each request's frames)."""
         import jax
         import jax.numpy as jnp
-        from msnv_tpu.models.generate import generate_fn
+        from msnv_tpu.models.generate import generate_fn_dynamic
         _padded, temperature, _kind = gkey
         b = len(items)
         # pad lanes to the next power of two so distinct live batch sizes
@@ -328,9 +328,15 @@ class VocoderService:
             else:
                 if temperature not in self._gen_cache:
                     self._evict(self._gen_cache)
-                    self._gen_cache[temperature] = generate_fn(
-                        self.params, self.cfg, temperature=temperature)
-                audio, _ = self._gen_cache[temperature](conds, spks, key)
+                    # dynamic form: params are a call argument, so the
+                    # executable holds no weight constants (~350 MB ->
+                    # ~MBs at flagship size) and can't crowd the
+                    # backend's loaded-program arena under many
+                    # temperature/bucket combinations
+                    self._gen_cache[temperature] = generate_fn_dynamic(
+                        self.cfg, temperature=temperature)
+                audio, _ = self._gen_cache[temperature](
+                    self.params, conds, spks, key)
         audio = np.asarray(audio)
         return [audio[i, :it["n"] * self.cfg.lookback]
                 for i, it in enumerate(items)]
@@ -338,10 +344,11 @@ class VocoderService:
     MAX_CACHED_CALLABLES = 8
 
     def _evict(self, cache: dict) -> None:
-        """Bound the compiled-callable caches: each entry holds a full
-        jitted program with the params constant-folded in, and the key is
-        the CLIENT-supplied temperature — unbounded growth would let a
-        client OOM the server by sweeping temperature values."""
+        """Bound the compiled-callable caches: entries are dynamic-form
+        programs (no weight constants), but each is still a loaded
+        executable, and the key is the CLIENT-supplied temperature —
+        unbounded growth would let a client bloat the server's program
+        arena by sweeping temperature values."""
         while len(cache) >= self.MAX_CACHED_CALLABLES:
             cache.pop(next(iter(cache)))   # oldest-inserted first
 
@@ -366,14 +373,23 @@ class VocoderService:
                 return a_push(self.params, carry, cond)
 
             return init_state, push
-        from msnv_tpu.models.generate import streaming_fn
+        from msnv_tpu.models.generate import streaming_fn_dynamic
         with self._lock:
             if (temperature, k) not in self._stream_cache:
                 self._evict(self._stream_cache)
-                self._stream_cache[(temperature, k)] = streaming_fn(
-                    self.params, self.cfg, frames_per_push=k,
-                    temperature=temperature)
-        return self._stream_cache[(temperature, k)]
+                # dynamic form (see _run_group): small executables, one
+                # compile serves changing weights
+                self._stream_cache[(temperature, k)] = streaming_fn_dynamic(
+                    self.cfg, frames_per_push=k, temperature=temperature)
+        d_init, d_push = self._stream_cache[(temperature, k)]
+
+        def init_state(batch, spk, key):
+            return d_init(self.params, batch, spk, key)
+
+        def push(carry, cond):
+            return d_push(self.params, carry, cond)
+
+        return init_state, push
 
     def stream(self, body: dict):
         """Yield PCM16 chunks as frame groups are generated. Trailing

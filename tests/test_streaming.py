@@ -76,3 +76,33 @@ def test_multi_frame_push_matches_single():
         assert audio.shape == (B, K * cfg.lookback)
         chunks.append(np.asarray(s))
     np.testing.assert_array_equal(np.concatenate(chunks, axis=1), ref)
+
+
+def test_dynamic_streaming_matches_baked():
+    """streaming_fn_dynamic (params as call args, small executable) is
+    sample-exact vs streaming_fn (params baked as constants), including
+    multi-frame pushes and a second param set reusing the same compile."""
+    from msnv_tpu.models.generate import streaming_fn_dynamic
+
+    cfg = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=5,
+                      spk_dim=2)
+    rng = np.random.RandomState(7)
+    B, K, total = 2, 2, 6
+    spk = jnp.asarray([0, 1], jnp.int32)
+    key = jax.random.PRNGKey(9)
+    cond = jnp.asarray(rng.rand(B, total, 5), jnp.float32)
+
+    initd, pushd = streaming_fn_dynamic(cfg, frames_per_push=K)
+    for seed in (0, 4):           # second params reuse the same jit cache
+        params = init_params(jax.random.PRNGKey(seed), cfg)
+        initb, pushb = streaming_fn(params, cfg, frames_per_push=K)
+        cb = initb(B, spk, key)
+        cd = initd(params, B, spk, key)
+        for c in range(total // K):
+            chunk = cond[:, c * K:(c + 1) * K]
+            cb, audio_b, sb = pushb(cb, chunk)
+            cd, audio_d, sd = pushd(params, cd, chunk)
+            np.testing.assert_array_equal(np.asarray(sd), np.asarray(sb))
+            np.testing.assert_allclose(np.asarray(audio_d),
+                                       np.asarray(audio_b))
+    assert pushd._cache_size() == 1   # one compile served both param sets
