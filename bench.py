@@ -24,6 +24,136 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _run_section(name):
+    """Run `python bench.py --section <name>` in a fresh process and
+    parse its one-line JSON result; failures/timeouts come back as
+    {"error": ...} instead of killing the bench."""
+    import subprocess
+    timeout_s = int(os.environ.get("BENCH_SECTION_TIMEOUT", "1500"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"error": f"section {name} timed out after {timeout_s}s"}
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                break
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+    return {"error": (f"section {name} rc={proc.returncode}: "
+                      + " | ".join(tail[-3:]))[:300]}
+
+
+def gan_section():
+    """GAN-variant training throughput — the heaviest training config
+    (ref run_samplegan.sh: batch 64, weight_norm, two optimizers +
+    4-resblock discriminator)."""
+    import dataclasses as _dc
+
+    import jax
+    from msnv_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
+    import jax.numpy as jnp
+    from msnv_tpu.config import preset as _preset
+    from msnv_tpu.models.discriminator import discriminator_init
+    from msnv_tpu.models.samplernn import init_params, init_tier_state
+    from msnv_tpu.training.gan import make_gan_train_step
+    from msnv_tpu.training.optim import make_optimizer
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    train_dtype = os.environ.get("BENCH_TRAIN_DTYPE", "bf16")
+    rng = np.random.RandomState(0)
+    gcfg = _preset("samplernn_gan")
+    gm = _dc.replace(gcfg.model,
+                     gru_impl=os.environ.get("BENCH_GRU_IMPL",
+                                             "pallas" if on_tpu else "xla"))
+    gb = int(os.environ.get("BENCH_GAN_BATCH", str(gcfg.train.batch_size)))
+    gparams = init_params(jax.random.PRNGKey(0), gm)
+    gdisc = discriminator_init(jax.random.PRNGKey(1), gm.spk_dim)
+    gopt = make_optimizer(gcfg.train)
+    gmo, gdo = gopt.init(gparams), gopt.init(gdisc)
+    gstate = init_tier_state(gm, gb)
+    gseq = gcfg.train.seq_len
+    gdata = jnp.asarray(rng.randint(0, 256, (gb, gseq + gm.lookback - 1)),
+                        jnp.int32)
+    gtarget = jnp.asarray(rng.randint(0, 256, (gb, gseq)), jnp.int32)
+    gcond = jnp.asarray(rng.rand(gb, gseq // gm.lookback,
+                                 gm.effective_cond_dim), jnp.float32)
+    gspk = jnp.asarray(rng.randint(0, gm.spk_dim, (gb,)), jnp.int32)
+    gstep = make_gan_train_step(
+        gm, gcfg.train, gopt, gopt, donate=True,
+        compute_dtype=jnp.bfloat16 if train_dtype == "bf16" else None)
+    out = gstep(gparams, gdisc, gmo, gdo, gstate, jnp.asarray(0.0),
+                gdata, jnp.asarray(True), gtarget, gcond, gspk)
+    float(out[5]["loss"])
+    gp, gd, gmo, gdo, gs = out[:5]
+    t0 = time.perf_counter()
+    gruns = 10
+    for i in range(gruns):
+        out = gstep(gp, gd, gmo, gdo, gs, jnp.asarray(float(i + 1)),
+                    gdata, jnp.asarray(False), gtarget, gcond, gspk)
+        gp, gd, gmo, gdo, gs = out[:5]
+    float(out[5]["loss"])
+    gan_dt = (time.perf_counter() - t0) / gruns
+    return {"gan_train_samples_per_s": round(gb * gseq / gan_dt),
+            "gan_step_wall_s": round(gan_dt, 4)}
+
+
+def interactive_section():
+    """Low-batch streaming envelope. The reference's operating point is
+    ONE utterance at a time (ref generate.py:154-253): per-stream RTF
+    and first-audio latency at B in {1,4,16} via the streaming push API
+    (the /stream serving path)."""
+    import jax
+    from msnv_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
+    import jax.numpy as jnp
+    from msnv_tpu.config import preset
+    from msnv_tpu.models.generate import streaming_fn
+    from msnv_tpu.models.samplernn import init_params
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    cfg = preset("samplernn")
+    m = cfg.model
+    params = init_params(jax.random.PRNGKey(0), m)
+    rng = np.random.RandomState(0)
+    interactive = {}
+    for B, K in ((1, 1), (1, 4), (4, 4), (16, 4)):
+        init_state, push = streaming_fn(
+            params, m, frames_per_push=K,
+            compute_dtype=jnp.bfloat16 if on_tpu else None)
+        spk0 = jnp.zeros((B,), jnp.int32)
+        scond = jnp.asarray(
+            rng.rand(B, K, m.effective_cond_dim).squeeze(1) if K == 1
+            else rng.rand(B, K, m.effective_cond_dim), jnp.float32)
+        carry = init_state(B, spk0, jax.random.PRNGKey(0))
+        carry, a, _ = push(carry, scond)      # compile + warm
+        a.block_until_ready()
+        # first-audio latency: fresh state -> first audible samples
+        t0 = time.perf_counter()
+        c2 = init_state(B, spk0, jax.random.PRNGKey(1))
+        _, a, _ = push(c2, scond)
+        a.block_until_ready()
+        first_audio_ms = (time.perf_counter() - t0) * 1e3
+        n = 30
+        t0 = time.perf_counter()
+        for _ in range(n):
+            carry, a, _ = push(carry, scond)
+        a.block_until_ready()
+        dt = (time.perf_counter() - t0) / n
+        audio_s = K * m.lookback / 16000.0
+        interactive[f"B{B}_K{K}"] = {
+            "push_ms": round(dt * 1e3, 2),
+            "stream_rtf": round(audio_s / dt, 2),
+            "first_audio_ms": round(first_audio_ms, 1),
+        }
+    return {"interactive": interactive}
+
+
 def main():
     import jax
     # persistent compile cache: the big generation graphs take minutes to
@@ -117,98 +247,24 @@ def main():
     train_dt = (time.perf_counter() - t0) / truns
     train_tput = train_batch * seq_len / train_dt
 
-    # ---- GAN-variant training throughput --------------------------------
-    # the heaviest training config (ref run_samplegan.sh: batch 64,
-    # weight_norm, two optimizers + 4-resblock discriminator);
-    # BENCH_GAN=0 skips
+    # ---- optional sections, each in its own process ---------------------
+    # The remote TPU backend's program arena is finite; loading the GAN
+    # and streaming executables after the big generation graph can fail
+    # with InvalidArgument. A fresh process per section gets a fresh
+    # backend and compile-cache reuse, and a per-section timeout bounds
+    # total bench wall clock. BENCH_GAN=0 / BENCH_INTERACTIVE=0 skip.
     gan_tput = None
     gan_error = None
     if os.environ.get("BENCH_GAN", "1") == "1":
-      try:
-        import dataclasses as _dc
-        from msnv_tpu.config import preset as _preset
-        from msnv_tpu.models.discriminator import discriminator_init
-        from msnv_tpu.training.gan import make_gan_train_step
-        gcfg = _preset("samplernn_gan")
-        gm = _dc.replace(gcfg.model,
-                         gru_impl=os.environ.get("BENCH_GRU_IMPL",
-                                                 "pallas" if on_tpu
-                                                 else "xla"))
-        gb = int(os.environ.get("BENCH_GAN_BATCH",
-                                str(gcfg.train.batch_size)))
-        gparams = init_params(jax.random.PRNGKey(0), gm)
-        gdisc = discriminator_init(jax.random.PRNGKey(1), gm.spk_dim)
-        gopt = make_optimizer(gcfg.train)
-        gmo, gdo = gopt.init(gparams), gopt.init(gdisc)
-        gstate = init_tier_state(gm, gb)
-        gseq = gcfg.train.seq_len
-        gdata = jnp.asarray(rng.randint(0, 256, (gb, gseq + gm.lookback - 1)),
-                            jnp.int32)
-        gtarget = jnp.asarray(rng.randint(0, 256, (gb, gseq)), jnp.int32)
-        gcond = jnp.asarray(rng.rand(gb, gseq // gm.lookback,
-                                     gm.effective_cond_dim), jnp.float32)
-        gspk = jnp.asarray(rng.randint(0, gm.spk_dim, (gb,)), jnp.int32)
-        gstep = make_gan_train_step(
-            gm, gcfg.train, gopt, gopt, donate=True,
-            compute_dtype=jnp.bfloat16 if train_dtype == "bf16" else None)
-        out = gstep(gparams, gdisc, gmo, gdo, gstate, jnp.asarray(0.0),
-                    gdata, jnp.asarray(True), gtarget, gcond, gspk)
-        float(out[5]["loss"])
-        gp, gd, gmo, gdo, gs = out[:5]
-        t0 = time.perf_counter()
-        gruns = 10
-        for i in range(gruns):
-            out = gstep(gp, gd, gmo, gdo, gs, jnp.asarray(float(i + 1)),
-                        gdata, jnp.asarray(False), gtarget, gcond, gspk)
-            gp, gd, gmo, gdo, gs = out[:5]
-        float(out[5]["loss"])
-        gan_dt = (time.perf_counter() - t0) / gruns
-        gan_tput = gb * gseq / gan_dt
-      except Exception as e:   # noqa: BLE001 — optional section: a flaky
-        # remote-backend hiccup must not zero the whole bench
-        gan_error = f"{type(e).__name__}: {e}"[:200]
-
-    # ---- interactive (low-batch streaming) envelope ---------------------
-    # The reference's operating point is ONE utterance at a time
-    # (ref generate.py:154-253). Per-stream RTF and first-audio latency
-    # at B in {1,4,16} via the streaming push API (the /stream serving
-    # path). BENCH_INTERACTIVE=0 skips.
+        res = _run_section("gan")
+        gan_tput = res.get("gan_train_samples_per_s")
+        gan_error = res.get("error")
     interactive = {}
     interactive_error = None
     if os.environ.get("BENCH_INTERACTIVE", "1") == "1":
-      try:
-        from msnv_tpu.models.generate import streaming_fn
-        for B, K in ((1, 1), (1, 4), (4, 4), (16, 4)):
-            init_state, push = streaming_fn(
-                params, m, frames_per_push=K,
-                compute_dtype=jnp.bfloat16 if on_tpu else None)
-            spk0 = jnp.zeros((B,), jnp.int32)
-            scond = jnp.asarray(
-                rng.rand(B, K, m.effective_cond_dim).squeeze(1) if K == 1
-                else rng.rand(B, K, m.effective_cond_dim), jnp.float32)
-            carry = init_state(B, spk0, jax.random.PRNGKey(0))
-            carry, a, _ = push(carry, scond)      # compile + warm
-            a.block_until_ready()
-            # first-audio latency: fresh state -> first audible samples
-            t0 = time.perf_counter()
-            c2 = init_state(B, spk0, jax.random.PRNGKey(1))
-            _, a, _ = push(c2, scond)
-            a.block_until_ready()
-            first_audio_ms = (time.perf_counter() - t0) * 1e3
-            n = 30
-            t0 = time.perf_counter()
-            for _ in range(n):
-                carry, a, _ = push(carry, scond)
-            a.block_until_ready()
-            dt = (time.perf_counter() - t0) / n
-            audio_s = K * m.lookback / 16000.0
-            interactive[f"B{B}_K{K}"] = {
-                "push_ms": round(dt * 1e3, 2),
-                "stream_rtf": round(audio_s / dt, 2),
-                "first_audio_ms": round(first_audio_ms, 1),
-            }
-      except Exception as e:   # noqa: BLE001 — keep partial results
-        interactive_error = f"{type(e).__name__}: {e}"[:200]
+        res = _run_section("interactive")
+        interactive = res.get("interactive") or {}
+        interactive_error = res.get("error")
 
     # ---- vs reference ----------------------------------------------------
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -254,4 +310,14 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        section = {"gan": gan_section,
+                   "interactive": interactive_section}[sys.argv[2]]
+        try:
+            print(json.dumps(section()))
+        except Exception as e:   # noqa: BLE001 — reported, not raised:
+            # the parent folds this into extras instead of failing
+            print(json.dumps(
+                {"error": f"{type(e).__name__}: {e}"[:300]}))
+        sys.exit(0)
     main()
