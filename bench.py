@@ -132,18 +132,21 @@ def interactive_section():
             else rng.rand(B, K, m.effective_cond_dim), jnp.float32)
         carry = init_state(B, spk0, jax.random.PRNGKey(0))
         carry, a, _ = push(carry, scond)      # compile + warm
-        a.block_until_ready()
+        # sync by VALUE transfer: block_until_ready does not reliably
+        # fence on the remote axon platform (see the train section)
+        float(a[-1, -1])
         # first-audio latency: fresh state -> first audible samples
+        # ON THE HOST (the transfer is part of what a listener waits for)
         t0 = time.perf_counter()
         c2 = init_state(B, spk0, jax.random.PRNGKey(1))
         _, a, _ = push(c2, scond)
-        a.block_until_ready()
+        float(a[-1, -1])
         first_audio_ms = (time.perf_counter() - t0) * 1e3
         n = 30
         t0 = time.perf_counter()
         for _ in range(n):
             carry, a, _ = push(carry, scond)
-        a.block_until_ready()
+        float(a[-1, -1])
         dt = (time.perf_counter() - t0) / n
         audio_s = K * m.lookback / 16000.0
         interactive[f"B{B}_K{K}"] = {
@@ -195,12 +198,14 @@ def main():
         gen = generate_fn(params, m)
 
     audio, _ = gen(cond, spk, jax.random.PRNGKey(1))   # compile + warmup
-    audio.block_until_ready()
+    # sync by value transfer — block_until_ready does not reliably fence
+    # on the remote axon platform (same rationale as the train section)
+    float(audio[-1, -1])
     t0 = time.perf_counter()
     runs = 3
     for i in range(runs):
         audio, _ = gen(cond, spk, jax.random.PRNGKey(2 + i))
-    audio.block_until_ready()
+    float(audio[-1, -1])
     gen_dt = (time.perf_counter() - t0) / runs
     audio_seconds = gen_batch * frames * m.lookback / 16000.0
     gen_tput = audio_seconds / gen_dt

@@ -47,66 +47,98 @@ def main():
     rng = np.random.RandomState(0)
     out = {"device": jax.devices()[0].device_kind}
 
+    def record(name, fn):
+        """Each measurement prints as it lands (a later section dying —
+        e.g. the backend program arena filling up — keeps earlier
+        results) and a failure is itself a recorded result."""
+        try:
+            out[name] = fn()
+        except Exception as e:   # noqa: BLE001
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print(json.dumps({name: out[name]}), flush=True)
+
+    # small (dynamic) programs measured FIRST, the ~350 MB baked ones
+    # last, so an arena failure late keeps the interesting results
     if not args.skip_stream:
-        spk = jnp.zeros((1,), jnp.int32)
+        spk1 = jnp.zeros((1,), jnp.int32)
         cond1 = jnp.asarray(rng.rand(1, m.effective_cond_dim), jnp.float32)
 
         def time_push(push, carry):
+            # sync by VALUE transfer: block_until_ready does not reliably
+            # fence on the remote axon platform (see bench.py train
+            # section); fetching one element forces the whole chain
             carry, a, _ = push(carry, cond1)
-            a.block_until_ready()
+            float(a[-1, -1])
             n = 50
             t0 = time.perf_counter()
             for _ in range(n):
                 carry, a, _ = push(carry, cond1)
-            a.block_until_ready()
+            float(a[-1, -1])
             return (time.perf_counter() - t0) / n * 1e3
 
-        ib, pb = streaming_fn(params, m, compute_dtype=jnp.bfloat16)
-        t0 = time.perf_counter()
-        ms_baked = time_push(pb, ib(1, spk, jax.random.PRNGKey(0)))
-        out["stream_baked"] = {"push_ms": round(ms_baked, 2),
-                               "total_wall_s": round(time.perf_counter() - t0,
-                                                     1)}
-        idn, pd = streaming_fn_dynamic(m, compute_dtype=jnp.bfloat16)
-        t0 = time.perf_counter()
-        ms_dyn = time_push(lambda c, x: pd(params, c, x),
-                           idn(params, 1, spk, jax.random.PRNGKey(0)))
-        out["stream_dynamic"] = {"push_ms": round(ms_dyn, 2),
-                                 "total_wall_s": round(
-                                     time.perf_counter() - t0, 1)}
+        def stream_dynamic():
+            idn, pd = streaming_fn_dynamic(m, compute_dtype=jnp.bfloat16)
+            t0 = time.perf_counter()
+            ms = time_push(lambda c, x: pd(params, c, x),
+                           idn(params, 1, spk1, jax.random.PRNGKey(0)))
+            return {"push_ms": round(ms, 2),
+                    "total_wall_s": round(time.perf_counter() - t0, 1)}
 
+        def stream_baked():
+            ib, pb = streaming_fn(params, m, compute_dtype=jnp.bfloat16)
+            t0 = time.perf_counter()
+            ms = time_push(pb, ib(1, spk1, jax.random.PRNGKey(0)))
+            return {"push_ms": round(ms, 2),
+                    "total_wall_s": round(time.perf_counter() - t0, 1)}
+
+        record("stream_dynamic", stream_dynamic)
+
+    gen_makers = []
     if not args.skip_gen:
         B, F = args.gen_batch, args.gen_frames
         cond = jnp.asarray(rng.rand(B, F, m.effective_cond_dim), jnp.float32)
         spk = jnp.asarray(rng.randint(0, m.spk_dim, (B,)), jnp.int32)
         popts = {"v3": True, "tile_b": 128}
 
-        def time_gen(call):
+        checks = {}
+
+        def time_gen(call, name):
             a, _ = call(jax.random.PRNGKey(1))
-            a.block_until_ready()
+            # value-transfer sync (see time_push) + a checksum proving the
+            # two forms computed the same audio for the same key
+            checks[name] = float(jnp.sum(jnp.abs(a.astype(jnp.float32))))
             t0 = time.perf_counter()
             for i in range(3):
-                a, _ = call(jax.random.PRNGKey(2 + i))
-            a.block_until_ready()
+                a, _ = call(jax.random.PRNGKey(2))
+            float(a[-1, -1])
             return (time.perf_counter() - t0) / 3
 
-        gd = generate_fn_dynamic(m, compute_dtype=jnp.bfloat16,
-                                 use_pallas=True, pallas_opts=popts)
-        t0 = time.perf_counter()
-        dt_dyn = time_gen(lambda k: gd(params, cond, spk, k))
-        out["gen_dynamic"] = {
-            "wall_s": round(dt_dyn, 3),
-            "audio_s_per_s": round(B * F * m.lookback / 16000.0 / dt_dyn, 1),
-            "total_wall_s": round(time.perf_counter() - t0, 1)}
-        gb = generate_fn(params, m, compute_dtype=jnp.bfloat16,
-                         use_pallas=True, pallas_opts=popts)
-        t0 = time.perf_counter()
-        dt_baked = time_gen(lambda k: gb(cond, spk, k))
-        out["gen_baked"] = {
-            "wall_s": round(dt_baked, 3),
-            "audio_s_per_s": round(B * F * m.lookback / 16000.0 / dt_baked,
-                                   1),
-            "total_wall_s": round(time.perf_counter() - t0, 1)}
+        def gen_result(call, name):
+            t0 = time.perf_counter()
+            dt = time_gen(call, name)
+            return {"wall_s": round(dt, 3),
+                    "audio_s_per_s": round(B * F * m.lookback / 16000.0 / dt,
+                                           1),
+                    "warmup_abs_sum": round(checks[name], 1),
+                    "total_wall_s": round(time.perf_counter() - t0, 1)}
+
+        def gen_dynamic():
+            gd = generate_fn_dynamic(m, compute_dtype=jnp.bfloat16,
+                                     use_pallas=True, pallas_opts=popts)
+            return gen_result(lambda k: gd(params, cond, spk, k), "dyn")
+
+        def gen_baked():
+            gb = generate_fn(params, m, compute_dtype=jnp.bfloat16,
+                             use_pallas=True, pallas_opts=popts)
+            return gen_result(lambda k: gb(cond, spk, k), "baked")
+
+        record("gen_dynamic", gen_dynamic)
+        gen_makers.append(gen_baked)
+
+    if not args.skip_stream:
+        record("stream_baked", stream_baked)
+    for gb_fn in gen_makers:
+        record("gen_baked", gb_fn)
 
     print(json.dumps(out))
 
