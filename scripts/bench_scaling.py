@@ -68,12 +68,12 @@ def main():
                 params, opt_state, state)
         out = step(params, opt_state, state, data, jnp.asarray(True),
                    target, cond, spk)
-        out[3].block_until_ready()
-        t0 = time.perf_counter()
+        float(out[3])   # value sync (see bench.py: block does not fence
+        t0 = time.perf_counter()   # reliably on the remote platform)
         for _ in range(5):
             out = step(params, opt_state, state, data, jnp.asarray(False),
                        target, cond, spk)
-        out[3].block_until_ready()
+        float(out[3])
         dt = (time.perf_counter() - t0) / 5
         tput = B * seq_len / dt
         results.append({"n_data": n_data, "global_batch": B,

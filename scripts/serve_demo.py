@@ -76,13 +76,14 @@ def main():
         shape = ((args.frames, batch, m.effective_cond_dim) if K == 1
                  else (args.frames, batch, K, m.effective_cond_dim))
         frames = jnp.asarray(rng.rand(*shape), jnp.float32)
-        # warmup / compile
+        # warmup / compile; sync by VALUE transfer — block_until_ready
+        # does not reliably fence on the remote axon platform (bench.py)
         carry, audio, _ = push(carry, frames[0])
-        audio.block_until_ready()
+        float(audio[-1, -1])
         t0 = time.perf_counter()
         for i in range(1, args.frames):
             carry, audio, _ = push(carry, frames[i])
-        audio.block_until_ready()
+        float(audio[-1, -1])
         ms = (time.perf_counter() - t0) / (args.frames - 1) * 1e3
         rtf = budget_ms / ms
         streams = batch * rtf
