@@ -122,6 +122,14 @@ def main():
                    help="per-speaker (true) vs joint (false) conditioner "
                         "normalization — the thesis's headline ablation "
                         "(doc/paper.pdf Table 1)")
+    p.add_argument("--augment_speeds", default="",
+                   help="comma-separated speed-perturb factors (e.g. "
+                        "'0.9,1.1') — stages sox-style resampled variants "
+                        "of every train utterance (data/augment.py), "
+                        "multiplying the 127 s corpus; eval targets stay "
+                        "the natural recordings")
+    p.add_argument("--augment_gains", default="",
+                   help="comma-separated gain-perturb factors (e.g. '0.79')")
     p.add_argument("--tiny", action="store_true",
                    help="CPU smoke scale (small dim, 2 epochs)")
     args = p.parse_args()
@@ -145,6 +153,15 @@ def main():
     total_s = sum(d for utts in per_spk.values() for _, d in utts)
     print(f"staged {sum(map(len, per_spk.values()))} utterances, "
           f"{total_s:.1f}s, speakers {sorted(per_spk)}", flush=True)
+
+    speeds = tuple(float(s) for s in args.augment_speeds.split(",") if s)
+    gains = tuple(float(g) for g in args.augment_gains.split(",") if g)
+    if speeds or gains:
+        from msnv_tpu.data.augment import augment_corpus
+        train_list = augment_corpus(data_dir, speeds=speeds, gains=gains,
+                                    read_wav=read_wav, write_wav=write_wav)
+        print(f"augmented train list: {len(train_list)} utterances "
+              f"(speeds {speeds}, gains {gains})", flush=True)
 
     if args.tiny:
         epochs = 2
@@ -211,6 +228,8 @@ def main():
         suffix += "_joint"
     if epochs != 150 and not args.tiny:
         suffix += f"_ep{epochs}"
+    if speeds or gains:
+        suffix += "_aug"
     gen_out = os.path.join(out, "gen" + suffix)
     shutil.rmtree(gen_out, ignore_errors=True)
     gen_main([
@@ -259,7 +278,11 @@ def main():
         "dim": args.dim,
         "norm_ind": norm_ind,
         "epochs": epochs,
+        "augment_speeds": list(speeds),
+        "augment_gains": list(gains),
         "corpus_seconds": round(total_s, 1),
+        "train_seconds_with_augment": round(
+            total_s * (1 + len(gains) + sum(1 / s for s in speeds)), 1),
         "train_wall_s": round(train_wall, 1),
         "final_train_nll_bits": [v for v in stats["training_loss"]
                                  if v is not None][-1],
