@@ -85,10 +85,15 @@ def _conv(p, x):
 
 
 def _instance_norm(x, eps: float = 1e-5):
-    """Non-affine InstanceNorm2d: normalize each (sample, channel) map."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    """Non-affine InstanceNorm2d: normalize each (sample, channel) map.
+
+    Statistics are always computed in f32: under bf16 mixed precision the
+    mean/variance of a 13x50 map would otherwise lose ~3 decimal digits,
+    and rsqrt(var) amplifies that into the normalized activations."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def discriminator_apply(params, latent):
@@ -100,8 +105,13 @@ def discriminator_apply(params, latent):
         y = _conv(block["conv2"], _reflect_pad(y))
         y = _instance_norm(y)
         x = y + x if x.shape[-1] == y.shape[-1] else y
-    pooled = jnp.mean(jax.nn.leaky_relu(x, LEAK), axis=(1, 2))  # (B, C)
-    logits = dense_apply(params["classifier"], pooled)
+    # pool + classify in f32: the log-softmax normalizer must not be
+    # quantized to bf16 (the NLL difference L2 drives the lambda reversal)
+    pooled = jnp.mean(jax.nn.leaky_relu(x, LEAK).astype(jnp.float32),
+                      axis=(1, 2))                               # (B, C)
+    cls = jax.tree_util.tree_map(lambda p: p.astype(jnp.float32),
+                                 params["classifier"])
+    logits = dense_apply(cls, pooled)
     return jax.nn.log_softmax(logits, axis=-1)
 
 
