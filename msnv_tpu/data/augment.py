@@ -53,12 +53,22 @@ def resample_rational(x: np.ndarray, p: int, q: int,
 
 
 def speed_perturb(audio: np.ndarray, factor: float,
-                  max_den: int = 100) -> np.ndarray:
+                  max_den: int = 20) -> np.ndarray:
     """sox-style speed perturbation: duration /= factor, pitch *= factor.
 
     `factor` is snapped to a rational with denominator <= max_den (0.9
     and 1.1 are exact); output amplitude is clipped to [-1, 1) so the
     downstream µ-law quantizer sees the same domain as the source.
+
+    max_den caps the zero-stuffed intermediate at `q` times the
+    utterance (resample_rational works at the upsampled rate): the old
+    default of 100 made factor=0.97 build a 100x float64 array plus
+    power-of-two FFT buffers — multi-GB transients on minute-long
+    utterances. 20 keeps the transient <~160 MB/min of audio; every
+    multiple of 0.05 (the usual perturbation grid) is exact, other
+    factors snap to the nearest den<=20 rational (up to ~2% off, e.g.
+    0.97 -> 19/20) — pass a larger max_den explicitly if an off-grid
+    factor must be exact and the utterances are short.
     """
     if factor <= 0:
         raise ValueError(f"speed factor must be > 0, got {factor}")
@@ -97,13 +107,17 @@ def augment_corpus(data_dir: str, speeds=(0.9, 1.1), gains=(),
         from msnv_tpu.data.wavio import read_wav as _r, write_wav as _w
         read_wav = read_wav or _r
         write_wav = write_wav or _w
+    import re
+
     list_path = os.path.join(data_dir, list_name)
     with open(list_path) as f:
         names = [ln.strip() for ln in f if ln.strip()]
-    tags = tuple(f"s{int(round(s * 100)):03d}" for s in speeds) + tuple(
-        f"g{int(round(g * 100)):03d}" for g in gains)
-    originals = ([n for n in names if not any(n.endswith(t) for t in tags)]
-                 if tags else list(names))
+    # an original is any name WITHOUT a variant tag — match the tag
+    # grammar itself ([sg] + 3 digits at the end), not just the current
+    # run's tag set, so rerunning with different speeds/gains never
+    # treats a prior run's variants (e.g. '72u000s090') as originals and
+    # compounds variant-of-variant WAVs into the list
+    originals = [n for n in names if not re.search(r"[sg]\d{3}$", n)]
     wav_dir = os.path.join(data_dir, subdir)
     variants = {n: [] for n in originals}
     for name in originals:

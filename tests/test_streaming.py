@@ -105,4 +105,8 @@ def test_dynamic_streaming_matches_baked():
             np.testing.assert_array_equal(np.asarray(sd), np.asarray(sb))
             np.testing.assert_allclose(np.asarray(audio_d),
                                        np.asarray(audio_b))
-    assert pushd._cache_size() == 1   # one compile served both param sets
+    # one compile served both param sets. _cache_size is a private jitted-
+    # function API; if a JAX upgrade removes it, the equivalence checks
+    # above still gate the feature — only this stricter assertion degrades.
+    if hasattr(pushd, "_cache_size"):
+        assert pushd._cache_size() == 1
