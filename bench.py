@@ -282,12 +282,19 @@ def main():
         vs_baseline = gen_tput / base["generation"]["audio_s_per_s"]
         vs_train = train_tput / base["training"]["samples_per_s"]
 
+    # perf regression gate (VERDICT r02 #2): fail loudly when the headline
+    # numbers slip below floors set ~4% under the best recorded on-chip
+    # results (551 audio-s/s r01/r03, 3.48M samples/s r02). Floors apply
+    # on real TPU hardware only — CPU/interpret runs are not comparable.
+    regression = bool(on_tpu and (gen_tput < 530.0 or train_tput < 3.3e6))
+
     result = {
         "metric": "generation_audio_seconds_per_s_per_chip",
         "value": round(gen_tput, 3),
         "unit": "audio_s/s/chip",
         "vs_baseline": (round(vs_baseline, 1) if vs_baseline is not None
                         else None),
+        "regression": regression,
         "extras": {
             "platform": platform,
             "device": device_kind,
