@@ -123,9 +123,13 @@ def interactive_section():
     rng = np.random.RandomState(0)
     interactive = {}
     for B, K in ((1, 1), (1, 4), (4, 4), (16, 4)):
+        # on TPU the per-window Pallas sampler replaces the 20-step inner
+        # scan (~80 tiny sequential ops/frame -> 4 kernel calls): B=1 K=1
+        # push 4.4 -> 1.6 ms (RTF 1.14 -> ~3), see docs/VALIDATION.md
         init_state, push = streaming_fn(
             params, m, frames_per_push=K,
-            compute_dtype=jnp.bfloat16 if on_tpu else None)
+            compute_dtype=jnp.bfloat16 if on_tpu else None,
+            use_pallas=on_tpu, pallas_opts={"v2": True})
         spk0 = jnp.zeros((B,), jnp.int32)
         scond = jnp.asarray(
             rng.rand(B, K, m.effective_cond_dim).squeeze(1) if K == 1

@@ -112,6 +112,11 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
     """(carry, slots (B, fs0, dim)) -> (carry, samples (B, fs0)) via the
     fused Pallas kernel (msnv_tpu/pallas/sample_kernel.py).
 
+    Dispatch: interpret mode (CPU tests) runs the v1 reference kernel with
+    precomputed Gumbel noise; on TPU the multi-tile v2 kernel is the
+    default and {"v3": True} selects the slot-row-streaming variant
+    (tile_b up to 128 — best at B >= 512).
+
     Temperature needs NO kernel change: the kernel draws
     argmax(logits + gumbel), and argmax(logits/T + g) is achieved exactly
     by feeding it w_out/T and b_out/T (the logits are affine in them).
@@ -141,8 +146,6 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
     bo = bo[None, :]
 
     interp = pallas_opts.get("interpret", False)
-    tile_b = pallas_opts.get("tile_b", 64)
-    use_v2 = pallas_opts.get("v2", False)
     use_v3 = pallas_opts.get("v3", False)
     cache = {}
 
@@ -153,79 +156,58 @@ def _pallas_window_sampler(params, cfg: ModelConfig, fused_table,
         pad = [(0, padded - batch)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, pad)
 
-    if use_v2 or use_v3:
-        # v2/v3: one multi-tile grid call, weights fetched once, in-kernel
-        # PRNG; v3 streams slot rows per sample so tile_b can reach 128
-        maker = make_sample_window_v3 if use_v3 else make_sample_window_v2
-        v2_tile = pallas_opts.get("tile_b", 128 if use_v3 else 32)
-
+    if interp:
+        # CPU interpret mode (tests): the reference-math kernel with
+        # precomputed Gumbel noise in ONE single-program call — the
+        # in-kernel TPU PRNG of v2/v3 has no interpret support. Interpret
+        # batches are tiny, so no batch tiling is needed.
         def run(carry, slots):
             buf, hs, key = carry
             batch = slots.shape[0]
-            # tiles must be a multiple of the 8-lane sublane minimum
-            # (Mosaic cannot lower odd-sized lane blocks); batches below /
-            # between multiples are zero-padded up and sliced away
-            tb = -(-max(min(v2_tile, batch), 8) // 8) * 8
-            # pad to a tile multiple; padded lanes compute garbage that is
-            # sliced away (their windows/slots are zeros — harmless)
-            n_tiles = -(-batch // tb)
-            padded = n_tiles * tb
-            if padded not in cache:
-                cache[padded] = maker(fs0, q, cfg.dim, padded, tile_b=tb)
             key, sub = jax.random.split(key)
-            seed = (sub[0] ^ sub[1]).astype(jnp.int32)[None]
-            slots_p = _pad_batch(slots.astype(table.dtype), batch, padded)
-            slots_t = jnp.swapaxes(slots_p, 0, 1)
-            slots_tiled = slots_t.reshape(
-                fs0, n_tiles, tb, cfg.dim).transpose(1, 0, 2, 3)
-            window = _pad_batch(buf[:, -fs0:], batch, padded)
-            samples = cache[padded](
-                seed, table, wh.astype(table.dtype), bh, wo, bo,
-                slots_tiled, window)[:batch]
+            noise = gumbel_noise(sub, (fs0, batch, q))
+            if batch not in cache:
+                cache[batch] = make_sample_window(
+                    fs0, q, cfg.dim, batch, tile_b=batch, interpret=True)
+            samples = cache[batch](
+                table, wh.astype(table.dtype), bh, wo, bo,
+                jnp.swapaxes(slots, 0, 1).astype(table.dtype),
+                buf[:, -fs0:], noise)
             buf = jnp.concatenate([buf[:, fs0:], samples], axis=1)
             return (buf, hs, key), samples
 
         return run
 
-    def kernel_for(batch):
-        # one grid program per call: multi-program grids double-buffer the
-        # batch-blocked inputs and blow the 16 MB VMEM budget next to the
-        # ~13 MB of resident weights, so larger batches are sliced into
-        # independent <=tile_b calls by the wrapper below
-        if batch not in cache:
-            cache[batch] = make_sample_window(
-                fs0, q, cfg.dim, batch, tile_b=batch, interpret=interp)
-        return cache[batch]
+    # on-TPU: one multi-tile grid call, weights fetched once across tiles,
+    # in-kernel PRNG. v2 (default) lands each tile's slot window in VMEM
+    # whole; v3 streams slot rows with a 2-deep double buffer so tile_b
+    # can reach 128 (best at B >= 512, see docs/VALIDATION.md).
+    maker = make_sample_window_v3 if use_v3 else make_sample_window_v2
+    v2_tile = pallas_opts.get("tile_b", 128 if use_v3 else 32)
 
     def run(carry, slots):
         buf, hs, key = carry
         batch = slots.shape[0]
+        # tiles must be a multiple of the 8-lane sublane minimum
+        # (Mosaic cannot lower odd-sized lane blocks); batches below /
+        # between multiples are zero-padded up and sliced away
+        tb = -(-max(min(v2_tile, batch), 8) // 8) * 8
+        # pad to a tile multiple; padded lanes compute garbage that is
+        # sliced away (their windows/slots are zeros — harmless)
+        n_tiles = -(-batch // tb)
+        padded = n_tiles * tb
+        if padded not in cache:
+            cache[padded] = maker(fs0, q, cfg.dim, padded, tile_b=tb)
         key, sub = jax.random.split(key)
-        noise = gumbel_noise(sub, (fs0, batch, q))
-        slots_t = jnp.swapaxes(slots, 0, 1).astype(table.dtype)
-        window = buf[:, -fs0:]
-        wh_c = wh.astype(table.dtype)
-
-        # pad to a slice multiple so every lane is covered (padded lanes are
-        # computed on zeros and sliced away); slices are rounded up to the
-        # 8-lane sublane minimum — Mosaic cannot lower smaller lane blocks
-        # (same constraint as the v2/v3 path above)
-        n_slices = -(-batch // tile_b)
-        size = -(-max(-(-batch // n_slices), 8) // 8) * 8
-        padded = n_slices * size
-        slots_t = _pad_batch(jnp.swapaxes(slots_t, 0, 1), batch, padded)
-        slots_t = jnp.swapaxes(slots_t, 0, 1)
-        window = _pad_batch(window, batch, padded)
-        noise = jnp.swapaxes(
-            _pad_batch(jnp.swapaxes(noise, 0, 1), batch, padded), 0, 1)
-        outs = []
-        for i in range(n_slices):
-            sl = slice(i * size, (i + 1) * size)
-            outs.append(kernel_for(size)(
-                table, wh_c, bh, wo, bo, slots_t[:, sl], window[sl],
-                noise[:, sl]))
-        samples = (outs[0] if n_slices == 1
-                   else jnp.concatenate(outs, axis=0))[:batch]
+        seed = (sub[0] ^ sub[1]).astype(jnp.int32)[None]
+        slots_p = _pad_batch(slots.astype(table.dtype), batch, padded)
+        slots_t = jnp.swapaxes(slots_p, 0, 1)
+        slots_tiled = slots_t.reshape(
+            fs0, n_tiles, tb, cfg.dim).transpose(1, 0, 2, 3)
+        window = _pad_batch(buf[:, -fs0:], batch, padded)
+        samples = cache[padded](
+            seed, table, wh.astype(table.dtype), bh, wo, bo,
+            slots_tiled, window)[:batch]
         buf = jnp.concatenate([buf[:, fs0:], samples], axis=1)
         return (buf, hs, key), samples
 

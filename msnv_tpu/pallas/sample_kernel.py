@@ -108,20 +108,23 @@ def gumbel_noise(key, shape):
 
 
 # ---------------------------------------------------------------------------
-# v2: multi-tile grid with weights resident ACROSS tiles + in-kernel PRNG
+# v2/v3: multi-tile grid with weights resident ACROSS tiles + in-kernel PRNG
 # ---------------------------------------------------------------------------
 #
-# The v1 wrapper slices big batches into independent single-program calls,
-# which re-DMAs the ~13 MB of weights once per 64-lane slice (8x per window
-# at B=512 — ~5 MB/sample of pure weight refetch). v2 runs ONE pallas_call
-# with grid=(n_tiles,): weight blocks have constant index maps so Mosaic
-# fetches them once for the whole grid; the per-tile slots are hand-DMA'd
-# from HBM into a single-buffered scratch (the automatic pipeline would
-# double-buffer them and blow the 16 MB VMEM budget), and Gumbel noise is
-# drawn in-kernel from the TPU PRNG (no noise traffic at all).
+# The v1 kernel above is a single-program call with precomputed Gumbel
+# noise — kept ONLY as the CPU-interpret reference (the in-kernel TPU PRNG
+# has no interpret support); its former batch-slicing wrapper re-DMA'd the
+# ~13 MB of weights once per 64-lane slice and was removed from the TPU
+# dispatch (models/generate._pallas_window_sampler). v2 runs ONE
+# pallas_call with grid=(n_tiles,): weight blocks have constant index maps
+# so Mosaic fetches them once for the whole grid; the per-tile slots are
+# hand-DMA'd from HBM into a single-buffered scratch (the automatic
+# pipeline would double-buffer them and blow the 16 MB VMEM budget), and
+# Gumbel noise is drawn in-kernel from the TPU PRNG (no noise traffic).
 #
-# The per-sample math is the same code as v1 (`_sample_logits`); v1's CPU
-# interpret tests pin it, and the on-chip test validates v2 end-to-end.
+# The per-sample math is shared (`_sample_logits`), as is the in-kernel
+# draw (`_gumbel_draw`); v1's CPU interpret tests pin the math, and the
+# on-chip tier validates v2/v3 end-to-end.
 
 
 def _sample_logits(fs0, q, tile_b, table_ref, wh_ref, bh_ref, wo_ref,
@@ -139,6 +142,18 @@ def _sample_logits(fs0, q, tile_b, table_ref, wh_ref, bh_ref, wo_ref,
     return logits + bo_ref[0, :]
 
 
+def _gumbel_draw(tile_b, q, logits):
+    """In-kernel Gumbel-max categorical draw over f32 logits -> (tile_b,)
+    int32 samples, from the TPU PRNG (seeded per grid program)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits((tile_b, q)), jnp.uint32)
+    # Mosaic has no uint32->f32 cast; (bits >> 8) < 2^24 so the
+    # int32 reinterpretation is value-preserving
+    bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    u = (bits24.astype(jnp.float32) + 0.5) * (1.0 / 16777216.0)
+    gumbel = -jnp.log(-jnp.log(u))
+    return jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
+
+
 def _window_kernel_v2(fs0, q, dim, tile_b, seed_ref, table_ref, wh_ref,
                       bh_ref, wo_ref, bo_ref, slots_hbm, buf_ref, out_ref):
     i = pl.program_id(0)
@@ -153,14 +168,7 @@ def _window_kernel_v2(fs0, q, dim, tile_b, seed_ref, table_ref, wh_ref,
             logits = _sample_logits(fs0, q, tile_b, table_ref, wh_ref,
                                     bh_ref, wo_ref, bo_ref, buf,
                                     slots_vmem[k, :, :])
-            bits = pltpu.bitcast(pltpu.prng_random_bits((tile_b, q)),
-                                 jnp.uint32)
-            # Mosaic has no uint32->f32 cast; (bits >> 8) < 2^24 so the
-            # int32 reinterpretation is value-preserving
-            bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
-            u = (bits24.astype(jnp.float32) + 0.5) * (1.0 / 16777216.0)
-            gumbel = -jnp.log(-jnp.log(u))
-            s = jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
+            s = _gumbel_draw(tile_b, q, logits)
             return jnp.concatenate([buf[:, 1:], s[:, None]], axis=1)
 
         out_ref[:, :] = jax.lax.fori_loop(0, fs0, body, buf_ref[:, :])
@@ -194,12 +202,7 @@ def _window_kernel_v3(fs0, q, dim, tile_b, seed_ref, table_ref, wh_ref,
             logits = _sample_logits(fs0, q, tile_b, table_ref, wh_ref,
                                     bh_ref, wo_ref, bo_ref, buf,
                                     slot_buf[k % 2])
-            bits = pltpu.bitcast(pltpu.prng_random_bits((tile_b, q)),
-                                 jnp.uint32)
-            bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
-            u = (bits24.astype(jnp.float32) + 0.5) * (1.0 / 16777216.0)
-            gumbel = -jnp.log(-jnp.log(u))
-            s = jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
+            s = _gumbel_draw(tile_b, q, logits)
             return jnp.concatenate([buf[:, 1:], s[:, None]], axis=1)
 
         out_ref[:, :] = jax.lax.fori_loop(0, fs0, body, buf_ref[:, :])

@@ -373,14 +373,26 @@ class VocoderService:
                 return a_push(self.params, carry, cond)
 
             return init_state, push
+        import jax
         from msnv_tpu.models.generate import streaming_fn_dynamic
         with self._lock:
             if (temperature, k) not in self._stream_cache:
                 self._evict(self._stream_cache)
                 # dynamic form (see _run_group): small executables, one
-                # compile serves changing weights
+                # compile serves changing weights. On TPU the push uses
+                # bf16 matvecs + the Pallas window sampler (one kernel per
+                # 20-sample window instead of an 80-step inner scan):
+                # B=1 K=1 push 4.4 -> 1.6 ms on-chip, which is what makes
+                # /stream realtime at 20 ms chunks. Greedy (T == 0) and
+                # non-TPU backends keep the XLA inner scan.
+                on_tpu = jax.default_backend() == "tpu"
+                use_pallas = on_tpu and temperature > 0.0
+                import jax.numpy as jnp
                 self._stream_cache[(temperature, k)] = streaming_fn_dynamic(
-                    self.cfg, frames_per_push=k, temperature=temperature)
+                    self.cfg, frames_per_push=k, temperature=temperature,
+                    compute_dtype=jnp.bfloat16 if on_tpu else None,
+                    use_pallas=use_pallas,
+                    pallas_opts={"v2": True} if use_pallas else None)
         d_init, d_push = self._stream_cache[(temperature, k)]
 
         def init_state(batch, spk, key):
@@ -414,6 +426,15 @@ class VocoderService:
 
         return released()
 
+    # fetch-pipeline depth for /stream: chunks in flight between device
+    # dispatch and host fetch. A synchronous device->host read costs
+    # ~25-30 ms on a tunneled device (vs ~4 ms of device compute per
+    # 20 ms chunk) and does NOT overlap queued work; starting the host
+    # copy async at dispatch time and draining D chunks behind restores
+    # RTF 0.7 -> ~4 at D=8, at the price of D chunks of added stream
+    # latency (D*K*5 ms of audio buffered in flight).
+    stream_fetch_depth = 8
+
     def _stream_iter(self, cond, spk, temperature, seed):
         import jax
         kind = "f" if np.asarray(spk).dtype.kind == "f" else "i"
@@ -421,21 +442,32 @@ class VocoderService:
         init_state, push = self._stream_push(temperature, K, kind)
         carry = init_state(1, spk, jax.random.PRNGKey(seed))
         n = cond.shape[0]
-        # double buffering: dispatch push k+1 BEFORE fetching chunk k's
-        # audio to the host, so the host<->device round trip overlaps the
-        # next chunk's device compute instead of serializing with it
-        # (dispatch is async; the fetch is the only blocking step). On a
-        # tunneled device this is the difference between RTF ~0.5x and
-        # realtime; host-attached it never hurts.
-        pending = None
+        # fetch pipeline: dispatch push k and START its host copy, fetch
+        # chunk k-D. Dispatch is async; the only blocking step is the
+        # drain of a copy that has had D pushes of wall-clock to complete.
+        queue = []
+
+        def flush(a):
+            return pcm16_bytes(np.asarray(a)[0])
+
+        def enqueue(audio):
+            # copy_to_host_async is an optimization, not a requirement —
+            # older jax Array impls without it just pay the sync fetch
+            if hasattr(audio, "copy_to_host_async"):
+                audio.copy_to_host_async()
+            queue.append(audio)
+            if len(queue) > self.stream_fetch_depth:
+                return flush(queue.pop(0))
+            return None
+
         for start in range(0, n - n % K, K):
             block = cond[start:start + K]
             with self._lock:
                 carry, audio, _ = push(
                     carry, block[None] if K > 1 else block[None, 0])
-            if pending is not None:
-                yield pcm16_bytes(np.asarray(pending)[0])
-            pending = audio
+            out = enqueue(audio)
+            if out is not None:
+                yield out
         if n % K:
             # the artifact and live carries are representation-compatible
             # (same pytree, raw uint32 key data), so trailing 1-frame
@@ -444,11 +476,11 @@ class VocoderService:
             for j in range(n - n % K, n):
                 with self._lock:
                     carry, audio, _ = push1(carry, cond[None, j])
-                if pending is not None:
-                    yield pcm16_bytes(np.asarray(pending)[0])
-                pending = audio
-        if pending is not None:
-            yield pcm16_bytes(np.asarray(pending)[0])
+                out = enqueue(audio)
+                if out is not None:
+                    yield out
+        for audio in queue:
+            yield flush(audio)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -467,9 +499,15 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet by default
         pass
 
+    # one TCP segment per audio chunk: Nagle + delayed-ACK turns a
+    # sequence of small writes into ~30-40 ms stalls PER CHUNK — with the
+    # Pallas push at ~4 ms/20 ms-chunk that would dominate the stream RTF
+    disable_nagle_algorithm = True
+
     def _chunk(self, data: bytes):
-        self.wfile.write(f"{len(data):X}\r\n".encode())
-        self.wfile.write(data + b"\r\n")
+        # single write so the chunk header/payload/trailer never straddle
+        # segments waiting on an ACK
+        self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
         self.wfile.flush()
 
     def _json(self, code: int, obj: dict, close: bool = False):

@@ -130,6 +130,21 @@ def main():
                         "the natural recordings")
     p.add_argument("--augment_gains", default="",
                    help="comma-separated gain-perturb factors (e.g. '0.79')")
+    p.add_argument("--variant", default="identity",
+                   choices=("identity", "bottleneck", "gan"),
+                   help="conditioner head (ref run_samplegan.sh / "
+                        "run_sampleneck.sh); gan adds the adversarial "
+                        "speaker-disentanglement objective and a post-hoc "
+                        "probe report (docs/GAN_STUDY.md methodology)")
+    p.add_argument("--ind_cond_dim", type=int, default=50)
+    p.add_argument("--lambda_weight", nargs=3, type=float,
+                   default=[0.0, 0.01, 5000.0],
+                   help="GAN lambda ramp start/target/ramp_steps — default "
+                        "ramps over ~1/3 of a 150-epoch run on the "
+                        "augmented 127 s corpus (~96 steps/epoch), unlike "
+                        "the ref's 50k which would never engage here")
+    p.add_argument("--probe_steps", type=int, default=300,
+                   help="post-hoc probe training steps (variant=gan)")
     p.add_argument("--tiny", action="store_true",
                    help="CPU smoke scale (small dim, 2 epochs)")
     args = p.parse_args()
@@ -165,6 +180,10 @@ def main():
 
     if args.tiny:
         epochs = 2
+        # cond_len == lookback (16) so the conditioner is genuinely
+        # per-top-tier-frame (cond_len 80 with lookback 16 only typechecks
+        # because a single cond frame broadcasts), and the 5 cond frames
+        # per chunk satisfy the GAN discriminator's reflect-pad-2 minimum
         model_flags = ["--frame_sizes", "4", "4", "--n_rnn", "1",
                        "--dim", "32", "--seq_len", "80",
                        "--batch_size", "8", "--learning_rate", "2e-3"]
@@ -180,10 +199,17 @@ def main():
     os.chdir(out)   # npy caches land under out/
     try:
         norm_ind = args.norm_ind.lower().startswith("t")
+        variant_flags = []
+        if args.variant != "identity":
+            variant_flags = ["--variant", args.variant,
+                             "--ind_cond_dim", str(args.ind_cond_dim)]
+            if args.variant == "gan":
+                variant_flags += ["--lambda_weight",
+                                  *(str(x) for x in args.lambda_weight)]
         train_main([
             "--exp", "real-speech",
-            *model_flags,
-            "--cond_len", "80",
+            *model_flags, *variant_flags,
+            "--cond_len", "16" if args.tiny else "80",
             "--look_ahead", "true",
             "--norm_ind", "true" if norm_ind else "false",
             "--ulaw", "true",
@@ -230,6 +256,10 @@ def main():
         suffix += f"_ep{epochs}"
     if speeds or gains:
         suffix += "_aug"
+    if args.variant != "identity":
+        suffix += f"_{args.variant}"
+        if args.variant == "gan" and args.lambda_weight[1] == 0.0:
+            suffix += "0"        # lambda-0 control (architecture, no adversary)
     gen_out = os.path.join(out, "gen" + suffix)
     shutil.rmtree(gen_out, ignore_errors=True)
     gen_main([
@@ -263,6 +293,87 @@ def main():
                         os.path.join(repo_samples,
                                      f"real_speech{suffix}_{name}.wav"))
     rho_f0 = spearman(np.asarray(f0_gen), np.asarray(f0_nat))
+
+    # variant=gan: post-hoc speaker-probe disentanglement score
+    # (docs/GAN_STUDY.md methodology: the in-loop discriminator NLL
+    # overstates disentanglement, so train a FRESH probe on the frozen
+    # final latent and report its NLL vs chance = ln(n_speakers))
+    probe_report = None
+    if args.variant == "gan":
+        import math
+
+        import jax as _jax
+        import jax.numpy as jnp
+        import optax
+
+        from msnv_tpu.config import parse_tag
+        from msnv_tpu.data.corpus import CorpusConfig, build_corpus
+        from msnv_tpu.data.loader import ChunkLoader
+        from msnv_tpu.models.discriminator import (discriminator_init,
+                                                   discriminator_nll)
+        from msnv_tpu.models.samplernn import (init_params, init_tier_state,
+                                               predictor_apply)
+        from msnv_tpu.training.checkpoint import load_any
+
+        cfg_full = parse_tag(os.path.basename(exp_dir))
+        mcfg = cfg_full.model
+        template = {"params": init_params(_jax.random.PRNGKey(0), mcfg)}
+        ckpt_state, _ = load_any(model_path, template)
+        tparams = ckpt_state["params"]
+        ccfg = CorpusConfig(
+            datasets_path=data_dir, wav_path=os.path.join(data_dir, "wav"),
+            cond_path=os.path.join(data_dir, "wav"),
+            overlap_len=mcfg.lookback, q_levels=mcfg.q_levels,
+            ulaw=mcfg.ulaw, seq_len=cfg_full.train.seq_len,
+            batch_size=cfg_full.train.batch_size, cond_dim=mcfg.cond_dim,
+            cond_len=mcfg.cond_len, norm_ind=norm_ind,
+            look_ahead=mcfg.look_ahead,
+            cache_dir=os.path.join(data_dir, "npy_datasets"),
+            cond_source="mel")
+        pcorpus = build_corpus(ccfg, "train")
+        ploader = ChunkLoader(pcorpus, cfg_full.train.seq_len, mcfg.lookback,
+                              mcfg.cond_len, mcfg.q_levels, mcfg.ulaw)
+        n_chunks = min(len(ploader), 24)
+        pstate = init_tier_state(mcfg, cfg_full.train.batch_size)
+        lat_cache, spk_cache = [], []
+        for k in range(n_chunks):
+            ch = ploader.get_chunk(k)
+            _, pstate, latent = predictor_apply(
+                tparams, mcfg, jnp.asarray(ch.data), jnp.asarray(ch.reset),
+                jnp.asarray(ch.cond), jnp.asarray(ch.spk), pstate)
+            lat_cache.append(np.asarray(latent))
+            spk_cache.append(np.asarray(ch.spk))
+        probe = discriminator_init(
+            _jax.random.PRNGKey(7), mcfg.spk_dim, channels=32)
+        popt = optax.adam(1e-3)
+        pst = popt.init(probe)
+
+        @_jax.jit
+        def probe_step(probe, pst, latent, spk):
+            l, g = _jax.value_and_grad(
+                lambda pp: discriminator_nll(pp, latent, spk))(probe)
+            up, pst2 = popt.update(g, pst, probe)
+            return optax.apply_updates(probe, up), pst2, l
+
+        pl = None
+        for i in range(args.probe_steps):
+            j = i % n_chunks
+            probe, pst, l = probe_step(probe, pst, jnp.asarray(lat_cache[j]),
+                                       jnp.asarray(spk_cache[j]))
+            pl = float(l) if pl is None else 0.9 * pl + 0.1 * float(l)
+        probe_report = {
+            "probe_nll_nats": round(pl, 4),
+            "chance_nll_nats": round(math.log(mcfg.spk_dim), 4),
+            "probe_steps": args.probe_steps,
+            "probe_chunks": n_chunks,
+            "lambda_weight": list(args.lambda_weight),
+            "in_loop_disc_nll_last": (
+                [v for v in stats["disc_loss"] if v is not None][-1]
+                if "disc_loss" in stats and
+                any(v is not None for v in stats["disc_loss"]) else None),
+        }
+        print(f"post-hoc probe NLL {pl:.3f} nats "
+              f"(chance {math.log(mcfg.spk_dim):.3f})", flush=True)
 
     val = [v for v in stats.get("validation_loss", []) if v is not None]
     mcds = [s["mcd_db"] for s in pair_scores]
@@ -305,6 +416,8 @@ def main():
             for k in ("mcd_db", "f0_rmse_hz", "vuv_error_rate",
                       "burst_fraction")
             if k in stats},
+        "variant": args.variant,
+        "speaker_probe": probe_report,
     }
     with open(os.path.join(out, f"real_speech_report{suffix}.json"),
               "w") as f:

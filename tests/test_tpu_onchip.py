@@ -112,10 +112,9 @@ def test_pallas_v3_matches_v1_on_chip(tpu):
 
 
 def test_small_batch_generation_on_chip(tpu):
-    """v1 AND v3 pallas generation at batches 1, 3 (below the 8-sublane
-    minimum) and 12 (between multiples of 8):
-    both wrappers pad lanes up to a legal tile instead of handing Mosaic
-    1-2 lane blocks (v1 regressed separately — it has its own slicer)."""
+    """Default (v2) AND v3 pallas generation at batches 1, 3 (below the
+    8-sublane minimum) and 12 (between multiples of 8): the wrapper pads
+    lanes up to a legal tile instead of handing Mosaic 1-2 lane blocks."""
     import jax
     import jax.numpy as jnp
     from msnv_tpu.config import ModelConfig
@@ -127,14 +126,14 @@ def test_small_batch_generation_on_chip(tpu):
     params = init_params(jax.random.PRNGKey(0), cfg)
     gen = generate_fn(params, cfg, compute_dtype=jnp.bfloat16,
                       use_pallas=True, pallas_opts={"v3": True})
-    gen_v1 = generate_fn(params, cfg, compute_dtype=jnp.bfloat16,
+    gen_v2 = generate_fn(params, cfg, compute_dtype=jnp.bfloat16,
                          use_pallas=True, pallas_opts={})
     rng = np.random.RandomState(0)
     for batch in (1, 3, 12):
         cond = jnp.asarray(rng.rand(batch, 2, cfg.effective_cond_dim),
                            jnp.float32)
         spk = jnp.asarray(rng.randint(0, cfg.spk_dim, (batch,)), jnp.int32)
-        for g in (gen, gen_v1):
+        for g in (gen, gen_v2):
             audio, seq = g(cond, spk, jax.random.PRNGKey(1))
             assert seq.shape == (batch, 2 * cfg.lookback)
             assert int(seq.min()) >= 0 and int(seq.max()) < cfg.q_levels
