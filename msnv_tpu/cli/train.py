@@ -107,6 +107,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_weight", nargs=3, type=float,
                    default=[0.0, 0.01, 50000.0],
                    help="GAN lambda ramp: start target ramp_steps")
+    p.add_argument("--disc_channels", type=int, default=512,
+                   help="GAN discriminator width (512 = thesis spec; "
+                        "shrink for CPU smokes)")
     return p
 
 
@@ -127,7 +130,8 @@ def config_from_args(args, spk_dim: int) -> ExperimentConfig:
             scheduler=args.scheduler,
             keep_old_checkpoints=args.keep_old_checkpoints,
             resume=args.resume,
-            lambda_weight=tuple(args.lambda_weight)),
+            lambda_weight=tuple(args.lambda_weight),
+            disc_channels=args.disc_channels),
         data=DataConfig(
             datasets_path=args.datasets_path,
             cond_path=args.cond_path or args.datasets_path,

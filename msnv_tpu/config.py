@@ -99,6 +99,10 @@ class TrainConfig:
     resume: bool = True
     # GAN variant: lambda ramp (start, target, ramp_steps) (ref run_samplegan.sh)
     lambda_weight: Tuple[float, float, float] = (0.0, 0.01, 50000.0)
+    # GAN discriminator width; 512 = thesis spec (doc §3.2.2, fig 3.5).
+    # Smaller values are for CPU tests/smokes — the 512-channel disc costs
+    # ~170 MFLOP per audio sample, minutes per step on a 2-vCPU box.
+    disc_channels: int = 512
 
 
 @dataclass(frozen=True)

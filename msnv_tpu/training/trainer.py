@@ -56,7 +56,8 @@ class Trainer:
             from msnv_tpu.models.discriminator import discriminator_init
             from msnv_tpu.training.gan import make_gan_train_step
             self.disc_params = discriminator_init(
-                jax.random.PRNGKey(cfg.train.seed + 1), cfg.model.spk_dim)
+                jax.random.PRNGKey(cfg.train.seed + 1), cfg.model.spk_dim,
+                channels=cfg.train.disc_channels)
             self.disc_opt = optimizer  # same clipped-Adam recipe
             self.disc_opt_state = self.disc_opt.init(self.disc_params)
             gan_builder = make_gan_train_step(

@@ -152,8 +152,12 @@ def main():
     import jax
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
-    from msnv_tpu.utils.profiling import enable_compile_cache
-    enable_compile_cache()
+    else:
+        # TPU only: CPU AOT cache entries are machine-feature-specific
+        # (loading one compiled on a different host risks SIGILL — same
+        # guard as __graft_entry__.dryrun_multichip)
+        from msnv_tpu.utils.profiling import enable_compile_cache
+        enable_compile_cache()
 
     from msnv_tpu.cli.generate import main as gen_main
     from msnv_tpu.cli.train import main as train_main
@@ -206,6 +210,10 @@ def main():
             if args.variant == "gan":
                 variant_flags += ["--lambda_weight",
                                   *(str(x) for x in args.lambda_weight)]
+                if args.tiny:
+                    # the thesis-spec 512-channel discriminator costs
+                    # minutes/step on a 2-vCPU box — shrink for the smoke
+                    variant_flags += ["--disc_channels", "16"]
         train_main([
             "--exp", "real-speech",
             *model_flags, *variant_flags,
