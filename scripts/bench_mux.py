@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Concurrent-stream serving benchmark: N simultaneous HTTP /stream
+clients through the lane-batched multiplexer (serving.StreamMultiplexer).
+
+Each client requests --seconds of audio; per-stream RTF = audio_s /
+client wall. The multiplexer advances all lanes per device push, so
+per-stream RTF should stay ~flat with N (the per-connection path's
+falls as 1/N past the device budget).
+
+Usage: python scripts/bench_mux.py [--streams 32] [--seconds 2]
+       [--frames_per_push 4] [--lanes 64] [--tiny]
+Prints one JSON line; recorded in docs/VALIDATION.md.
+"""
+
+import argparse
+import http.client
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--streams", type=int, default=32)
+    p.add_argument("--lanes", type=int, default=64)
+    p.add_argument("--seconds", type=float, default=2.0)
+    p.add_argument("--frames_per_push", type=int, default=4)
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from msnv_tpu.utils.profiling import enable_compile_cache
+        enable_compile_cache(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    from msnv_tpu.config import preset
+    from msnv_tpu.models.samplernn import init_params
+    from msnv_tpu.serving import VocoderService, make_server
+
+    cfg = preset("tiny_unconditional" if args.tiny else "samplernn")
+    m = cfg.model
+    params = init_params(jax.random.PRNGKey(0), m)
+    service = VocoderService(params, m,
+                             frames_per_push=args.frames_per_push,
+                             mux_lanes=args.lanes, name="bench-mux")
+    srv = make_server(service, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    addr = srv.server_address
+
+    frames = max(int(args.seconds * 16000) // m.lookback,
+                 args.frames_per_push)
+    rng = np.random.RandomState(0)
+    body = json.dumps({
+        "cond": rng.rand(frames, m.effective_cond_dim).tolist(),
+        "spk": 0})
+
+    def one_request(i, out):
+        c = http.client.HTTPConnection(*addr, timeout=600)
+        t0 = time.perf_counter()
+        while True:       # 429 = all lanes busy; back off and retry
+            c.request("POST", "/stream", body,
+                      {"Content-Type": "application/json"})
+            r = c.getresponse()
+            if r.status != 429:
+                break
+            r.read()
+            time.sleep(0.05)
+        assert r.status == 200, r.status
+        first = r.read(2 * m.lookback * args.frames_per_push)
+        t_first = time.perf_counter() - t0
+        total = len(first)
+        while True:
+            chunk = r.read(1 << 16)
+            if not chunk:
+                break
+            total += len(chunk)
+        out[i] = (t_first, time.perf_counter() - t0, total)
+        c.close()
+
+    # warm: compile the masked push + fill caches
+    warm = {}
+    one_request(-1, warm)
+    assert warm[-1][2] == frames * m.lookback * 2, warm
+
+    out = {}
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=one_request, args=(i, out))
+               for i in range(args.streams)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    wall = time.perf_counter() - t0
+
+    audio_s = frames * m.lookback / 16000.0
+    assert len(out) == args.streams, (len(out), args.streams)
+    assert all(v[2] == frames * m.lookback * 2 for v in out.values())
+    rtfs = np.asarray([audio_s / v[1] for v in out.values()])
+    firsts = np.asarray([v[0] for v in out.values()]) * 1e3
+    print(json.dumps({
+        "bench": "mux_stream_serving",
+        "platform": jax.devices()[0].platform,
+        "device": jax.devices()[0].device_kind,
+        "streams": args.streams,
+        "lanes": args.lanes,
+        "frames_per_push": args.frames_per_push,
+        "audio_s_per_request": round(audio_s, 2),
+        "per_stream_rtf_mean": round(float(rtfs.mean()), 2),
+        "per_stream_rtf_min": round(float(rtfs.min()), 2),
+        "aggregate_audio_s_per_s": round(float(
+            args.streams * audio_s / wall), 1),
+        "first_audio_ms_p50": round(float(np.percentile(firsts, 50)), 1),
+        "first_audio_ms_p95": round(float(np.percentile(firsts, 95)), 1),
+    }))
+    service.close()
+    srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()
