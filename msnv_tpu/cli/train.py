@@ -254,6 +254,10 @@ def main(argv=None):
         manager, every_n_iterations=args.save_every_iterations,
         every_n_epochs=args.ckpt_every))
     log_fields = ["training_loss", "validation_loss", "test_loss", "time"]
+    if args.variant == "gan":
+        # adversarial diagnostics into the log + stats.json trajectory
+        # (trainer._record_gan_metrics keeps the per-step values)
+        log_fields += ["disc_loss", "lambda"]
     if args.metrics_every:
         if not args.ulaw:
             # linear mode packs per-utterance-quantized levels, not the
