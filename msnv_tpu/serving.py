@@ -20,11 +20,16 @@ Design notes (TPU serving):
   frame repeats — look-ahead-safe) and the audio is trimmed, so the
   number of distinct XLA programs stays bounded.
 - /stream shares ONE compiled push function (batch 1); per-connection
-  state is the O(dim) streaming carry.
-- The device serializes concurrent requests; this front-end targets
-  latency-oriented single-stream serving. For throughput-oriented
-  many-stream serving batch the lanes (scripts/serve_demo.py measures
-  ~500 concurrent real-time streams per chip at batch 384-512).
+  state is the O(dim) streaming carry. On TPU the push runs the fused
+  Pallas window kernel in bf16, and audio fetches are async-pipelined
+  (see VocoderService.stream_fetch_depth) — realtime at 20 ms chunks
+  through a tunneled device.
+- For throughput-oriented many-stream serving, `--mux_lanes N` enables
+  the lane-batched StreamMultiplexer: N concurrent /stream requests
+  share one device carry and advance together per masked push, putting
+  aggregate throughput at the batched-generation rate
+  (scripts/bench_mux.py; scripts/serve_demo.py measured the raw
+  batched envelope at ~500 realtime streams/chip).
 """
 
 from __future__ import annotations
