@@ -35,6 +35,11 @@ from msnv_tpu.training.step import make_train_step
 
 
 def timeit(fn, *args, n=10):
+    """CAVEAT: syncs by fetching EVERY output leaf to the host, so
+    timings of functions with large outputs (full grad trees / updated
+    params) are dominated by tunnel transfer, not device compute — only
+    the scalar-output discriminator timings here are clean. For true
+    step timings use bench.py's chained loops (sync on the loss only)."""
     out = fn(*args)
     jax.tree_util.tree_map(
         lambda x: float(np.asarray(jax.device_get(x)).ravel()[-1]), out)
