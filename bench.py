@@ -286,9 +286,12 @@ def main():
         vs_baseline = gen_tput / base["generation"]["audio_s_per_s"]
         vs_train = train_tput / base["training"]["samples_per_s"]
 
-    # perf regression gate (VERDICT r02 #2): fail loudly when the headline
-    # numbers slip below floors set ~4-10% under the best recorded on-chip
-    # results (551 audio-s/s r01/r03, 3.48M samples/s r02, 677k GAN r03).
+    # perf regression gate (VERDICT r02 #2): floors set ~4-10% under the
+    # best recorded on-chip results (551 audio-s/s r01/r03, 3.48M
+    # samples/s r02, 677k GAN r03). The flag is recorded in the printed
+    # JSON for the round driver (which always needs the JSON line, so the
+    # default exit stays 0); CI that gates on exit status should run
+    # `bench.py --strict` / BENCH_STRICT=1, which exits 3 on regression.
     # Floors apply on real TPU hardware only — CPU runs are not comparable.
     regression = bool(on_tpu and (
         gen_tput < 530.0 or train_tput < 3.3e6
@@ -325,6 +328,7 @@ def main():
     if gan_error:
         result["extras"]["gan_error"] = gan_error
     print(json.dumps(result))
+    return regression
 
 
 if __name__ == "__main__":
@@ -338,4 +342,7 @@ if __name__ == "__main__":
             print(json.dumps(
                 {"error": f"{type(e).__name__}: {e}"[:300]}))
         sys.exit(0)
-    main()
+    regressed = main()
+    if regressed and ("--strict" in sys.argv[1:]
+                      or os.environ.get("BENCH_STRICT", "0") == "1"):
+        sys.exit(3)   # distinct code: perf floor breached, not a crash

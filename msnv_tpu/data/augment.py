@@ -73,6 +73,17 @@ def speed_perturb(audio: np.ndarray, factor: float,
     if factor <= 0:
         raise ValueError(f"speed factor must be > 0, got {factor}")
     frac = Fraction(factor).limit_denominator(max_den)
+    snapped = frac.numerator / frac.denominator
+    if abs(snapped - factor) > 1e-6 * max(1.0, abs(factor)):
+        # off-grid factor: warn instead of silently shifting pitch/
+        # duration by up to ~2% (0.97 at max_den=20 resamples at 19/20)
+        import warnings
+        warnings.warn(
+            f"speed factor {factor} snapped to {frac.numerator}/"
+            f"{frac.denominator} = {snapped:.6g} (max_den={max_den}); "
+            f"pass a larger max_den if the exact ratio matters "
+            f"(costs a {frac.denominator}x resampling intermediate)",
+            stacklevel=2)
     y = resample_rational(audio, frac.numerator, frac.denominator)
     return np.clip(y, -1.0, np.float32(32767 / 32768))
 
@@ -118,6 +129,22 @@ def augment_corpus(data_dir: str, speeds=(0.9, 1.1), gains=(),
     # treats a prior run's variants (e.g. '72u000s090') as originals and
     # compounds variant-of-variant WAVs into the list
     originals = [n for n in names if not re.search(r"[sg]\d{3}$", n)]
+    # names matching the variant grammar are skipped as prior-run
+    # variants; a GENUINE original whose id happens to end in s/g+3
+    # digits would be silently excluded from augmentation AND from the
+    # rebuilt list. Such a name is distinguishable: its stem (the name
+    # minus the 4-char tag) has no corresponding original in the list.
+    orphans = [n for n in names
+               if re.search(r"[sg]\d{3}$", n) and n[:-4] not in originals]
+    if orphans:
+        import warnings
+        warnings.warn(
+            f"{len(orphans)} train-list name(s) match the augmentation "
+            f"tag grammar ([sg]NNN suffix) but have no corresponding "
+            f"original in the list (e.g. {orphans[0]!r}); treating them "
+            f"as stale variants and DROPPING them from the rebuilt list "
+            f"— rename genuine originals to avoid the suffix grammar",
+            stacklevel=2)
     wav_dir = os.path.join(data_dir, subdir)
     variants = {n: [] for n in originals}
     for name in originals:

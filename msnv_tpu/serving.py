@@ -59,6 +59,30 @@ class _TooLarge(Exception):
         self.length = length
 
 
+def _armed(body_gen, cleanup):
+    """Return a STARTED generator whose `cleanup` is guaranteed to run
+    when it is closed, exhausted, or garbage-collected.
+
+    An unstarted generator's ``finally`` never executes (close() on it
+    skips the body), so acquiring a resource before returning a fresh
+    generator leaks it permanently if the caller errors before the first
+    ``next()`` — e.g. an HTTP handler whose header write fails on a
+    disconnected client. Priming past a sentinel yield enters the
+    ``try`` block, arming the cleanup for every subsequent outcome
+    (CPython refcounting closes an abandoned suspended generator
+    immediately)."""
+    def run():
+        try:
+            yield None           # priming sentinel (consumed below)
+            yield from body_gen
+        finally:
+            cleanup()
+
+    g = run()
+    next(g)                      # enter try: cleanup is now armed
+    return g
+
+
 class _Batcher:
     """Leader-follower dynamic batching: concurrent requests of the same
     (frames, temperature, speaker-kind) group coalesce into ONE device
@@ -177,6 +201,11 @@ class StreamMultiplexer:
         @jax.jit
         def masked_push(carry, cond, active):
             spk_vec, buf, hs, key = carry
+            # streaming push takes (B, C) at K=1 but (B, K, C) at K>1;
+            # the pump always builds (lanes, K, C) blocks — normalize
+            # (trace-time static, so direct 2-D calls still work)
+            if self.K == 1 and cond.ndim == 3:
+                cond = cond[:, 0]
             new_carry, audio, _ = push(carry, cond)
             _, buf2, hs2, key2 = new_carry
             buf3 = jnp.where(active[:, None], buf2, buf)
@@ -284,6 +313,25 @@ class StreamMultiplexer:
             if q is not None and self._gen[lane] == gen:
                 q.put(audio[lane])
 
+    def _revalidate_served(self, served, active):
+        """Drop lanes recycled between their block pop and the push.
+
+        MUST be called under _carry_lock (acquire's attach also holds
+        it). A lane released and re-acquired after the pump popped its
+        cond block holds the NEW stream's freshly spliced state — a push
+        with the OLD stream's conditioners would corrupt that carry
+        (_drain_one's gen check only drops the stale audio, not the
+        state advance). acquire increments _gen BEFORE attaching, so any
+        attach that completed before _carry_lock was taken is visible
+        here as a gen change; an attach that has not happened yet leaves
+        the OLD state in the lane, where a stale push is harmless
+        because the attach will overwrite it."""
+        stale = [i for i, (lane, gen) in enumerate(served)
+                 if self._gen[lane] != gen]
+        for i in reversed(stale):
+            lane, _ = served.pop(i)
+            active[lane] = False
+
     def _pump(self):
         import jax.numpy as jnp
         while True:
@@ -309,6 +357,9 @@ class StreamMultiplexer:
             active = np.zeros((self.lanes,), bool)
             active[[lane for lane, _ in served]] = True
             with self._carry_lock, self._device_lock:
+                self._revalidate_served(served, active)
+                if not served:
+                    continue
                 self._carry, audio = self._masked_push(
                     self._carry, jnp.asarray(cond), jnp.asarray(active))
             if hasattr(audio, "copy_to_host_async"):
@@ -645,14 +696,9 @@ class VocoderService:
                 not self._stream_slots.acquire(blocking=False):
             raise Overloaded(
                 f"too many concurrent streams (cap {self.max_streams})")
-
-        def released():
-            try:
-                yield from self._stream_iter(*args)
-            finally:
-                self._stream_slots.release()
-
-        return released()
+        # _armed: the slot must be released even if the caller errors
+        # before ever iterating the returned generator
+        return _armed(self._stream_iter(*args), self._stream_slots.release)
 
     # fetch-pipeline depth for /stream: chunks in flight between device
     # dispatch and host fetch. A synchronous device->host read costs
@@ -677,23 +723,22 @@ class VocoderService:
                 [cond_np, np.repeat(cond_np[-1:], pad, axis=0)])
         lane = mux.acquire(spk)          # raises Overloaded when full
 
-        def gen():
-            try:
-                blocks = [cond_np[i:i + K]
-                          for i in range(0, len(cond_np), K)]
-                mux.feed(lane, blocks)
-                q = mux.out_queue(lane)
-                remaining = n * self.cfg.lookback
-                for _ in range(len(blocks)):
-                    audio = q.get(timeout=120.0)
-                    take = min(len(audio), remaining)
-                    remaining -= take
-                    if take > 0:
-                        yield pcm16_bytes(audio[:take])
-            finally:
-                mux.release(lane)
+        def body():
+            blocks = [cond_np[i:i + K]
+                      for i in range(0, len(cond_np), K)]
+            mux.feed(lane, blocks)
+            q = mux.out_queue(lane)
+            remaining = n * self.cfg.lookback
+            for _ in range(len(blocks)):
+                audio = q.get(timeout=120.0)
+                take = min(len(audio), remaining)
+                remaining -= take
+                if take > 0:
+                    yield pcm16_bytes(audio[:take])
 
-        return gen()
+        # _armed: the lane must be released even if the caller errors
+        # before ever iterating the returned generator
+        return _armed(body(), lambda: mux.release(lane))
 
     def _stream_iter(self, cond, spk, temperature, seed):
         import jax
@@ -814,26 +859,32 @@ class _Handler(BaseHTTPRequestHandler):
                 self.wfile.write(wav)
             elif self.path == "/stream":
                 chunks = self.service.stream(body)
-                # prime the generator BEFORE sending headers: request
-                # validation raises at the first iteration, and a 400
-                # must not follow an already-sent 200 + chunked header
                 try:
-                    first = next(chunks)
-                except StopIteration:
-                    first = None
-                self.send_response(200)
-                self.send_header("Content-Type",
-                                 f"audio/L16;rate={SAMPLE_RATE}")
-                self.send_header("Transfer-Encoding", "chunked")
-                self.end_headers()
-                # a mid-stream failure past this point terminates the
-                # connection without the 0-chunk: clients see a truncated
-                # chunked body (a detectable error), never a fake 200-OK
-                if first is not None:
-                    self._chunk(first)
-                    for chunk in chunks:
-                        self._chunk(chunk)
-                self.wfile.write(b"0\r\n\r\n")
+                    # prime the generator BEFORE sending headers: request
+                    # validation raises at the first iteration, and a 400
+                    # must not follow an already-sent 200 + chunked header
+                    try:
+                        first = next(chunks)
+                    except StopIteration:
+                        first = None
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     f"audio/L16;rate={SAMPLE_RATE}")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    # a mid-stream failure past this point terminates the
+                    # connection without the 0-chunk: clients see a
+                    # truncated chunked body (a detectable error), never a
+                    # fake 200-OK
+                    if first is not None:
+                        self._chunk(first)
+                        for chunk in chunks:
+                            self._chunk(chunk)
+                    self.wfile.write(b"0\r\n\r\n")
+                finally:
+                    # releases the stream slot / mux lane deterministically
+                    # on any handler error (not just at GC time)
+                    chunks.close()
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
         except Overloaded as e:

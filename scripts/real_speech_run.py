@@ -302,12 +302,14 @@ def main():
                                      f"real_speech{suffix}_{name}.wav"))
     rho_f0 = spearman(np.asarray(f0_gen), np.asarray(f0_nat))
 
-    # variant=gan: post-hoc speaker-probe disentanglement score
+    # variant=gan/bottleneck: post-hoc speaker-probe disentanglement score
     # (docs/GAN_STUDY.md methodology: the in-loop discriminator NLL
     # overstates disentanglement, so train a FRESH probe on the frozen
-    # final latent and report its NLL vs chance = ln(n_speakers))
+    # final latent and report its NLL vs chance = ln(n_speakers)); for the
+    # bottleneck variant the probe measures how much speaker info the
+    # narrowing alone removes (thesis sec 3.2.1 vs 3.2.2 comparison)
     probe_report = None
-    if args.variant == "gan":
+    if args.variant in ("gan", "bottleneck"):
         import math
 
         import jax as _jax
@@ -374,7 +376,8 @@ def main():
             "chance_nll_nats": round(math.log(mcfg.spk_dim), 4),
             "probe_steps": args.probe_steps,
             "probe_chunks": n_chunks,
-            "lambda_weight": list(args.lambda_weight),
+            "lambda_weight": (list(args.lambda_weight)
+                              if args.variant == "gan" else None),
             "in_loop_disc_nll_last": (
                 [v for v in stats["disc_loss"] if v is not None][-1]
                 if "disc_loss" in stats and

@@ -88,3 +88,41 @@ def test_augment_corpus_staging(tmp_path):
     # idempotent: re-running does not re-augment the variants
     out2 = augment_corpus(data_dir, speeds=(0.9, 1.1), gains=(0.79,))
     assert out2 == out
+
+
+def test_speed_perturb_warns_on_offgrid_snap():
+    """Off-grid factors snap to a den<=max_den rational — loudly, so a
+    ~2% silent pitch/duration shift can't surprise callers (round-3
+    advisor finding)."""
+    import warnings
+
+    from msnv_tpu.data.augment import speed_perturb
+
+    x = np.sin(np.linspace(0, 100, 4000)).astype(np.float32)
+    with pytest.warns(UserWarning, match="snapped"):
+        speed_perturb(x, 0.97)            # 19/20 at max_den=20
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")    # on-grid factors stay silent
+        speed_perturb(x, 0.9)
+        speed_perturb(x, 1.1)
+        speed_perturb(x, 1.0)
+
+
+def test_augment_corpus_warns_on_orphan_variant_names(tmp_path):
+    """A genuine original whose name matches the variant tag grammar
+    ([sg]NNN suffix) is excluded from augmentation — visibly, not
+    silently (round-3 advisor finding)."""
+    from msnv_tpu.data.augment import augment_corpus
+    from msnv_tpu.data.wavio import write_wav
+
+    data_dir = str(tmp_path)
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    x = np.sin(np.linspace(0, 60, 2000)).astype(np.float32)
+    # '72s123' parses as a variant of original '72' — which doesn't exist
+    for name in ("72u000", "72s123"):
+        write_wav(str(wav_dir / (name + ".wav")), x, 16000)
+    (tmp_path / "wav_train.list").write_text("72u000\n72s123\n")
+    with pytest.warns(UserWarning, match="no corresponding original"):
+        out = augment_corpus(data_dir, speeds=(0.9,), gains=())
+    assert "72s123" not in out and "72u000" in out

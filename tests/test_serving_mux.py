@@ -143,3 +143,66 @@ def test_mux_overload_returns_429():
     service._mux.release(lane)
     service.close()
     srv.shutdown()
+
+
+def test_pump_revalidates_recycled_lane_before_push():
+    """Lane-recycle race (round-3 advisor, medium): a cond block popped
+    for (lane, gen) must not be pushed after the lane was released and
+    re-acquired — the push would advance the NEW occupant's freshly
+    attached carry with the OLD stream's conditioners. The pump re-reads
+    the generation under _carry_lock via _revalidate_served."""
+    mux = StreamMultiplexer(_params(), CFG, lanes=2, frames_per_push=1)
+    lane = mux.acquire(np.asarray([0], np.int32))
+    served = [(lane, mux._gen[lane])]
+    active = np.zeros((2,), bool)
+    active[lane] = True
+    # the recycle window: old client releases, new client acquires the
+    # same lane (gen bumps + fresh state attached) before the push runs
+    mux.release(lane)
+    lane2 = mux.acquire(np.asarray([1], np.int32))
+    assert lane2 == lane
+    with mux._carry_lock:
+        mux._revalidate_served(served, active)
+    assert served == [] and not active.any()
+    # a lane NOT recycled survives revalidation
+    served = [(lane2, mux._gen[lane2])]
+    active[lane2] = True
+    with mux._carry_lock:
+        mux._revalidate_served(served, active)
+    assert served == [(lane2, mux._gen[lane2])] and active[lane2]
+    mux.release(lane2)
+
+
+def test_unstarted_stream_generator_releases_lane():
+    """Round-3 advisor (low): stream() acquires a mux lane (or a stream
+    slot) before returning the generator; if the handler errors before
+    the first next(), the unstarted generator's finally would never run.
+    The _armed wrapper must release the resource on close()/GC anyway."""
+    import gc
+
+    service = VocoderService(_params(), CFG, frames_per_push=1,
+                             mux_lanes=1, max_streams=1)
+    try:
+        cond = [[0.0] * CFG.effective_cond_dim]
+        g = service.stream({"cond": cond, "spk": 0})    # mux path
+        from msnv_tpu.serving import Overloaded
+        with pytest.raises(Overloaded):
+            service.stream({"cond": cond, "spk": 0})    # lane held
+        g.close()                                       # never iterated
+        g2 = service.stream({"cond": cond, "spk": 0})   # lane released
+        # abandonment (handler crash with no explicit close): GC closes
+        # the armed generator and releases the lane
+        del g2
+        gc.collect()
+        g3 = service.stream({"cond": cond, "spk": 0})
+        assert b"".join(g3)   # full drain still works end-to-end
+        # per-connection path (explicit seed bypasses the mux): slot is
+        # released on close-without-iteration too
+        s1 = service.stream({"cond": cond, "spk": 0, "seed": 1})
+        with pytest.raises(Overloaded):
+            service.stream({"cond": cond, "spk": 0, "seed": 2})
+        s1.close()
+        s2 = service.stream({"cond": cond, "spk": 0, "seed": 3})
+        assert b"".join(s2)
+    finally:
+        service.close()
