@@ -1,0 +1,233 @@
+"""Lane-batched /stream multiplexer: N streams share one device carry."""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from msnv_tpu.config import ModelConfig
+from msnv_tpu.serving.common import Overloaded
+
+
+class StreamMultiplexer:
+    """Lane-batched /stream engine: up to `lanes` concurrent streams share
+    ONE device-resident streaming carry and one pump loop.
+
+    The per-connection path pays the full device dispatch + fetch round
+    trip PER STREAM (streams serialize on the device lock: per-stream RTF
+    ~ 1/N). Here every pump tick advances ALL lanes with pending
+    conditioner frames in a single masked K-frame push — the Pallas
+    window kernel batches lanes for free — so aggregate throughput is the
+    batched-generation rate (hundreds of realtime streams/chip,
+    scripts/serve_demo.py) instead of the single-stream rate.
+
+    Mechanics:
+    - carry lanes attach/detach dynamically: `_attach` splices a fresh
+      (q_zero buffer, learned-h0 hidden, speaker vector) into lane i via
+      dynamic_update_slice; `_masked_push` advances the batch and
+      keeps inactive lanes' state frozen with jnp.where.
+    - the pump fetch-pipelines like the per-connection path: host copies
+      start async at dispatch and drain a few ticks behind.
+    - PRNG: one key advances per tick for the whole batch (like batched
+      generation) — a multiplexed stream gets the same distribution but a
+      different sample stream than a solo run, and per-request `seed` is
+      ignored. Streams needing seed-exact audio use the per-connection
+      path (mux_lanes=0).
+    """
+
+    FETCH_DEPTH = 4
+
+    def __init__(self, params, cfg: ModelConfig, lanes: int = 32,
+                 frames_per_push: int = 4, temperature: float = 1.0,
+                 seed: int = 0):
+        import queue as _queue
+
+        import jax
+        import jax.numpy as jnp
+        from msnv_tpu.models.generate import streaming_fn
+
+        self.cfg = cfg
+        self.lanes = int(lanes)
+        self.K = int(frames_per_push)
+        self.temperature = float(temperature)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        use_pallas = on_tpu and temperature > 0.0
+        init_state, push = streaming_fn(
+            params, cfg, frames_per_push=self.K,
+            compute_dtype=jnp.bfloat16 if on_tpu else None,
+            use_pallas=use_pallas,
+            pallas_opts={"v2": True} if use_pallas else None,
+            temperature=temperature)
+
+        @jax.jit
+        def masked_push(carry, cond, active):
+            spk_vec, buf, hs, key = carry
+            # streaming push takes (B, C) at K=1 but (B, K, C) at K>1;
+            # the pump always builds (lanes, K, C) blocks — normalize
+            # (trace-time static, so direct 2-D calls still work)
+            if self.K == 1 and cond.ndim == 3:
+                cond = cond[:, 0]
+            new_carry, audio, _ = push(carry, cond)
+            _, buf2, hs2, key2 = new_carry
+            buf3 = jnp.where(active[:, None], buf2, buf)
+            hs3 = tuple(jnp.where(active[None, :, None], h2, h)
+                        for h2, h in zip(hs2, hs))
+            return (spk_vec, buf3, hs3, key2), audio
+
+        def attach_fn(carry, lane, spk):
+            fresh = init_state(1, spk, jax.random.PRNGKey(0))
+            s1, b1, h1, _ = fresh
+            spk_vec, buf, hs, key = carry
+            zero = jnp.int32(0)
+            spk_vec = jax.lax.dynamic_update_slice(
+                spk_vec, s1.astype(spk_vec.dtype), (lane, zero))
+            buf = jax.lax.dynamic_update_slice(buf, b1, (lane, zero))
+            hs = tuple(
+                jax.lax.dynamic_update_slice(h, h1i, (zero, lane, zero))
+                for h, h1i in zip(hs, h1))
+            return (spk_vec, buf, hs, key)
+
+        self._masked_push = masked_push
+        self._attach_jit = jax.jit(attach_fn)
+        self._carry = init_state(
+            self.lanes, jnp.zeros((self.lanes,), jnp.int32),
+            jax.random.PRNGKey(seed))
+        self._zeros_cond = np.zeros(
+            (self.lanes, self.K, cfg.effective_cond_dim), np.float32)
+        self._cv = threading.Condition()
+        self._free = list(range(self.lanes))
+        self._pending = {}     # lane -> list of (K, C) np blocks, FIFO
+        self._out = {}         # lane -> queue.Queue of np audio chunks
+        self._gen = [0] * self.lanes   # lane reuse epoch: in-flight audio
+        #                                of a released stream must never
+        #                                reach the lane's NEXT occupant
+        self._queue_cls = _queue.Queue
+        self._stop = False
+        self._thread = None
+        self._inflight = []    # [(device audio, [(lane, gen) served])]
+        # carry mutations (attach splices vs pump ticks) must be atomic:
+        # an attach interleaved inside a pump's read-push-write would be
+        # overwritten by the pushed carry. _carry_lock is the outer lock;
+        # the device lock (shared with /synthesize) nests inside it.
+        self._carry_lock = threading.Lock()
+        self._device_lock = threading.Lock()
+
+    # -- connection side --------------------------------------------------
+
+    def acquire(self, spk):
+        """Reserve a lane and splice in a fresh stream state; returns the
+        lane id. Raises Overloaded when all lanes are busy."""
+        import jax.numpy as jnp
+        with self._cv:
+            if not self._free:
+                raise Overloaded(
+                    f"all {self.lanes} multiplexer lanes busy")
+            lane = self._free.pop()
+            self._gen[lane] += 1
+            self._pending[lane] = []
+            self._out[lane] = self._queue_cls()
+        # attach OUTSIDE the cv (device call) but atomically wrt pump
+        # ticks; the pump skips lanes with no pending blocks, so the
+        # splice itself cannot race a push of this lane's state
+        with self._carry_lock, self._device_lock:
+            self._carry = self._attach_jit(self._carry, jnp.int32(lane),
+                                           jnp.asarray(spk))
+        return lane
+
+    def feed(self, lane: int, cond_blocks):
+        """Queue (K, C) conditioner blocks for a lane and wake the pump."""
+        with self._cv:
+            self._pending[lane].extend(cond_blocks)
+            self._cv.notify_all()
+
+    def release(self, lane: int) -> None:
+        with self._cv:
+            self._pending.pop(lane, None)
+            self._out.pop(lane, None)
+            self._free.append(lane)
+
+    def out_queue(self, lane: int):
+        return self._out[lane]
+
+    # -- pump -------------------------------------------------------------
+
+    def start(self, device_lock=None) -> None:
+        if device_lock is not None:
+            self._device_lock = device_lock
+        self._thread = threading.Thread(target=self._pump, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    def _drain_one(self):
+        audio_dev, served = self._inflight.pop(0)
+        audio = np.asarray(audio_dev)
+        for lane, gen in served:
+            # drop audio of released streams; the gen check stops a
+            # recycled lane's new occupant from receiving it
+            q = self._out.get(lane)
+            if q is not None and self._gen[lane] == gen:
+                q.put(audio[lane])
+
+    def _revalidate_served(self, served, active):
+        """Drop lanes recycled between their block pop and the push.
+
+        MUST be called under _carry_lock (acquire's attach also holds
+        it). A lane released and re-acquired after the pump popped its
+        cond block holds the NEW stream's freshly spliced state — a push
+        with the OLD stream's conditioners would corrupt that carry
+        (_drain_one's gen check only drops the stale audio, not the
+        state advance). acquire increments _gen BEFORE attaching, so any
+        attach that completed before _carry_lock was taken is visible
+        here as a gen change; an attach that has not happened yet leaves
+        the OLD state in the lane, where a stale push is harmless
+        because the attach will overwrite it."""
+        stale = [i for i, (lane, gen) in enumerate(served)
+                 if self._gen[lane] != gen]
+        for i in reversed(stale):
+            lane, _ = served.pop(i)
+            active[lane] = False
+
+    def _pump(self):
+        import jax.numpy as jnp
+        while True:
+            with self._cv:
+                while not self._stop and not any(self._pending.values()):
+                    # nothing to push: finish draining, then sleep
+                    if self._inflight:
+                        break
+                    self._cv.wait(timeout=0.5)
+                if self._stop:
+                    break
+                served, cond = [], None
+                if any(self._pending.values()):
+                    cond = self._zeros_cond.copy()
+                    for lane, blocks in self._pending.items():
+                        if blocks:
+                            cond[lane] = blocks.pop(0)
+                            served.append((lane, self._gen[lane]))
+            if cond is None:
+                # woke only to drain
+                self._drain_one()
+                continue
+            active = np.zeros((self.lanes,), bool)
+            active[[lane for lane, _ in served]] = True
+            with self._carry_lock, self._device_lock:
+                self._revalidate_served(served, active)
+                if not served:
+                    continue
+                self._carry, audio = self._masked_push(
+                    self._carry, jnp.asarray(cond), jnp.asarray(active))
+            if hasattr(audio, "copy_to_host_async"):
+                audio.copy_to_host_async()
+            self._inflight.append((audio, served))
+            while len(self._inflight) > self.FETCH_DEPTH:
+                self._drain_one()
+        while self._inflight:
+            self._drain_one()
