@@ -62,3 +62,31 @@ def sharded_generate_fn(params, cfg: ModelConfig, mesh, compute_dtype=None,
         check_rep=False,
     )
     return jax.jit(fn)
+
+
+def sharded_generate_fn_dynamic(cfg: ModelConfig, mesh, compute_dtype=None,
+                                use_pallas=False, pallas_opts=None,
+                                temperature=1.0):
+    """sharded_generate_fn with params as a CALL argument (replicated over
+    the mesh): one XLA compile serves changing weights — the serving
+    path's form (VocoderService uses it for /synthesize when a mesh is
+    configured, so one server fans a request batch over a pod slice).
+
+    Same contract as sharded_generate_fn: each shard folds its data-axis
+    index into the key, so the sharded batch is defined as N independent
+    local generators (see __graft_entry__.dryrun_multichip's note).
+    """
+    def shard_body(params, cond, spk, key):
+        idx = jax.lax.axis_index("data")
+        key = jax.random.fold_in(key, idx)
+        return generate_fn(params, cfg, compute_dtype, use_pallas,
+                           pallas_opts, 1, temperature)(cond, spk, key)
+
+    spec_b = P("data")
+    fn = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), spec_b, spec_b, P()),
+        out_specs=(spec_b, spec_b),
+        check_rep=False,
+    )
+    return jax.jit(fn)

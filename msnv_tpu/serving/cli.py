@@ -41,6 +41,12 @@ def main(argv=None):
                         "device carry and advance together per push "
                         "(aggregate throughput at the batched-generation "
                         "rate; per-request seed is ignored on this path)")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help=">1: shard /synthesize request lanes over a "
+                        "('data','model') device mesh of this many data "
+                        "shards (multi-chip serving; params replicate, "
+                        "each chip generates its lane shard with a "
+                        "per-shard folded key). 0/1 = single device.")
     p.add_argument("--timeout_s", type=float, default=60.0,
                    help="per-connection socket read/write timeout")
     p.add_argument("--max_body_mb", type=float, default=64.0,
@@ -65,7 +71,11 @@ def main(argv=None):
     if args.artifact:
         from msnv_tpu.export import load_artifact
         artifact = load_artifact(args.artifact)
-    service = VocoderService(state["params"], cfg.model,
+    mesh = None
+    if args.mesh_data > 1:
+        from msnv_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_data=args.mesh_data)
+    service = VocoderService(state["params"], cfg.model, mesh=mesh,
                              temperature_default=args.temperature,
                              frame_bucket=args.frame_bucket,
                              frames_per_push=args.frames_per_push,

@@ -52,9 +52,17 @@ class VocoderService:
                  frame_bucket: int = 16, frames_per_push: int = 1,
                  max_batch: int = 1, linger_ms: float = 10.0,
                  max_streams: int = 8, name: str = "msnv", artifact=None,
-                 mux_lanes: int = 0):
+                 mux_lanes: int = 0, mesh=None):
         self.params = params
         self.cfg = cfg
+        # multi-chip serving (SURVEY §5.8): with a jax.sharding.Mesh, the
+        # /synthesize group call runs parallel.generate.
+        # sharded_generate_fn_dynamic — request lanes shard over the
+        # 'data' axis, params replicate, each chip generates its shard
+        # (per-shard folded keys). Streaming/mux stay single-device (a
+        # 1-lane carry has nothing to shard).
+        self.mesh = mesh
+        self._mesh_shards = int(mesh.shape["data"]) if mesh is not None else 1
         # AOT generation artifact (msnv_tpu/export.py): requests whose
         # (lanes, frames, temperature, spk-kind) hit an exported bucket
         # run the deserialized executable — no tracing on the serving
@@ -192,6 +200,7 @@ class VocoderService:
                               if self._batcher else 1),
                 "max_streams": self.max_streams,
                 "mux_lanes": self._mux.lanes if self._mux else 0,
+                "mesh_shards": self._mesh_shards,
                 "artifact_buckets": (list(self.artifact.buckets)
                                      if self.artifact else None),
                 "artifact_streams": (list(self.artifact.stream_buckets)
@@ -255,6 +264,11 @@ class VocoderService:
         # cause at most log2(max_batch) retraces (padded lanes repeat
         # lane 0 and are sliced away)
         lanes = 1 << (b - 1).bit_length()
+        # a mesh shards lanes over 'data': round up so every shard gets
+        # an equal slice (shard counts are powers of two on real pods, so
+        # this usually coincides with the pow2 padding)
+        if self._mesh_shards > 1:
+            lanes = -(-lanes // self._mesh_shards) * self._mesh_shards
         conds = jnp.stack([it["cond"] for it in items]
                           + [items[0]["cond"]] * (lanes - b))
         spks = jnp.concatenate([it["spk"] for it in items]
@@ -265,7 +279,9 @@ class VocoderService:
             key = jax.random.fold_in(key, it["seed"])
         art = self.artifact
         with self._lock:
-            if (art is not None
+            # exported artifacts are single-device programs — a mesh
+            # always takes the live sharded path
+            if (art is not None and self.mesh is None
                     and temperature == art.manifest["temperature"]
                     and art.manifest["spk_mix"] == (_kind == "f")
                     and art.has_bucket(lanes, int(conds.shape[1]))):
@@ -278,8 +294,16 @@ class VocoderService:
                     # ~MBs at flagship size) and can't crowd the
                     # backend's loaded-program arena under many
                     # temperature/bucket combinations
-                    self._gen_cache[temperature] = generate_fn_dynamic(
-                        self.cfg, temperature=temperature)
+                    if self.mesh is not None:
+                        from msnv_tpu.parallel.generate import (
+                            sharded_generate_fn_dynamic)
+                        self._gen_cache[temperature] = (
+                            sharded_generate_fn_dynamic(
+                                self.cfg, self.mesh,
+                                temperature=temperature))
+                    else:
+                        self._gen_cache[temperature] = generate_fn_dynamic(
+                            self.cfg, temperature=temperature)
                 audio, _ = self._gen_cache[temperature](
                     self.params, conds, spks, key)
         audio = np.asarray(audio)

@@ -419,3 +419,70 @@ def test_device_corpus_block_scan_sharded_matches_single():
         # sharded evaluation over the device corpus agrees too
         assert t_mesh.evaluate(loader) == pytest.approx(
             t_single.evaluate(loader), abs=2e-2)
+
+
+def test_sharded_serving_synthesize():
+    """Multi-chip serving (VERDICT r03 stretch #9): with a mesh, the
+    /synthesize group call runs sharded_generate_fn_dynamic — lanes shard
+    over 'data', and each shard's audio equals a local generator run on
+    that shard's slice with the per-shard folded key (the sharded
+    generation contract). Exercised through the REAL service + HTTP
+    layer on the virtual 8-device mesh."""
+    import http.client
+    import json
+    import threading
+
+    from msnv_tpu.models.generate import generate_fn
+    from msnv_tpu.serving import VocoderService, make_server
+
+    m = ModelConfig(frame_sizes=(2, 2), n_rnn=1, dim=16, cond_dim=3,
+                    cond_len=4, spk_dim=3)
+    params = init_params(jax.random.PRNGKey(0), m)
+    mesh = make_mesh(n_data=4, n_model=1)
+    svc = VocoderService(params, m, frame_bucket=1, mesh=mesh)
+    assert svc.healthz()["mesh_shards"] == 4
+
+    # direct group call: 8 items -> 8 lanes over 4 shards of 2
+    rng = np.random.RandomState(3)
+    frames = 2
+    items = [{"cond": jnp.asarray(rng.rand(frames, m.effective_cond_dim),
+                                  jnp.float32),
+              "spk": jnp.asarray([i % m.spk_dim], jnp.int32),
+              "seed": 0, "n": frames} for i in range(8)]
+    outs = svc._run_group((frames, 1.0, "i"), items)
+    assert len(outs) == 8
+    assert all(o.shape == (frames * m.lookback,) for o in outs)
+    # per-shard equality vs a local generator with the folded key
+    key = jax.random.PRNGKey(0)
+    for it in items[1:]:
+        key = jax.random.fold_in(key, it["seed"])
+    local = generate_fn(params, m)
+    conds = jnp.stack([it["cond"] for it in items])
+    spks = jnp.concatenate([it["spk"] for it in items])
+    for shard in range(4):
+        sl = slice(shard * 2, shard * 2 + 2)
+        audio_s, _ = local(conds[sl], spks[sl],
+                           jax.random.fold_in(key, shard))
+        got = np.stack([np.asarray(o) for o in outs[sl]])
+        np.testing.assert_allclose(np.asarray(audio_s), got, atol=1e-6)
+
+    # an odd batch rounds lanes up to a shard multiple (3 -> 4)
+    outs3 = svc._run_group((frames, 1.0, "i"), items[:3])
+    assert len(outs3) == 3
+
+    # end-to-end over HTTP: one request (lane-padded to 4 shards)
+    srv = make_server(svc, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        c = http.client.HTTPConnection(*srv.server_address, timeout=60)
+        c.request("POST", "/synthesize",
+                  json.dumps({"cond": np.asarray(items[0]["cond"]).tolist(),
+                              "spk": 0}),
+                  {"Content-Type": "application/json"})
+        r = c.getresponse()
+        wav = r.read()
+        assert r.status == 200 and wav[:4] == b"RIFF"
+        c.close()
+    finally:
+        svc.close()
+        srv.shutdown()
