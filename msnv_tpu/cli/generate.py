@@ -70,6 +70,16 @@ def main(argv=None):
                    help="file listing utterance names")
     p.add_argument("--spk_list", required=True,
                    help="file listing speaker indices, one per utterance")
+    p.add_argument("--norm_spk_list", default=None,
+                   help="optional file of speaker indices used for the "
+                        "per-speaker conditioner normalization table "
+                        "(norm_ind models), one per utterance. Voice "
+                        "conversion decouples the two lists: normalize "
+                        "the SOURCE speaker's features with the source's "
+                        "table (content extraction) while --spk_list "
+                        "carries the TARGET embedding (identity). "
+                        "Default: the --spk_list entry (its argmax for "
+                        "mixes) — plain copy-synthesis behavior.")
     p.add_argument("--min_max", default=None,
                    help="saved training min_max npy (defaults to "
                         "npy_datasets/min_max_{ind|joint}.npy next to cwd)")
@@ -118,6 +128,12 @@ def main(argv=None):
     with open(args.spk_list) as f:
         spks = [parse_spk(s) for s in f.read().split()]
     assert len(utts) == len(spks), "cond/spk list length mismatch"
+    norm_spks = None
+    if args.norm_spk_list is not None:
+        with open(args.norm_spk_list) as f:
+            norm_spks = [int(s) for s in f.read().split()]
+        assert len(norm_spks) == len(utts), \
+            "cond/norm_spk list length mismatch"
     for s_ in spks:
         if isinstance(s_, np.ndarray):
             assert s_.shape[0] == m.spk_dim, (
@@ -132,16 +148,20 @@ def main(argv=None):
     min_cond, max_cond = mm[0], mm[1]
 
     conds = []
-    for name, spk in zip(utts, spks):
+    for i, (name, spk) in enumerate(zip(utts, spks)):
         if args.cond_source == "mel":
             cond = load_mel_utterance(args.cond_path, name, m.cond_dim,
                                       m.cond_len)
         else:
             cond = load_cond_utterance(args.cond_path, name)
         # mixed voices normalize with the dominant speaker's table
-        # (per-speaker min/max is only defined for trained speakers)
-        norm_spk = (int(np.argmax(spk)) if isinstance(spk, np.ndarray)
-                    else spk)
+        # (per-speaker min/max is only defined for trained speakers);
+        # --norm_spk_list overrides (voice conversion: source's table)
+        if norm_spks is not None:
+            norm_spk = norm_spks[i]
+        else:
+            norm_spk = (int(np.argmax(spk)) if isinstance(spk, np.ndarray)
+                        else spk)
         cond = normalize_cond(cond, min_cond, max_cond,
                               speaker=norm_spk, norm_ind=args.norm_ind)
         if m.look_ahead:
