@@ -145,9 +145,17 @@ def main():
                         "the ref's 50k which would never engage here")
     p.add_argument("--probe_steps", type=int, default=300,
                    help="post-hoc probe training steps (variant=gan)")
+    p.add_argument("--warm_start", default=None,
+                   help="checkpoint path to warm-start from (params only, "
+                        "same architecture — the transfer-learning path: "
+                        "pretrain on a synthetic corpus, fine-tune here; "
+                        "scripts/transfer_learning_run.py orchestrates)")
     p.add_argument("--tiny", action="store_true",
                    help="CPU smoke scale (small dim, 2 epochs)")
     args = p.parse_args()
+    if args.warm_start:
+        # absolutify before the os.chdir(out) below
+        args.warm_start = os.path.abspath(args.warm_start)
 
     import jax
     if args.tiny:
@@ -214,9 +222,11 @@ def main():
                     # the thesis-spec 512-channel discriminator costs
                     # minutes/step on a 2-vCPU box — shrink for the smoke
                     variant_flags += ["--disc_channels", "16"]
+        warm_flags = (["--model", args.warm_start]
+                      if args.warm_start else [])
         train_main([
             "--exp", "real-speech",
-            *model_flags, *variant_flags,
+            *model_flags, *variant_flags, *warm_flags,
             "--cond_len", "16" if args.tiny else "80",
             "--look_ahead", "true",
             "--norm_ind", "true" if norm_ind else "false",
@@ -264,6 +274,8 @@ def main():
         suffix += f"_ep{epochs}"
     if speeds or gains:
         suffix += "_aug"
+    if args.warm_start:
+        suffix += "_tl"       # transfer learning (warm-started)
     if args.variant != "identity":
         suffix += f"_{args.variant}"
         if args.variant == "gan" and args.lambda_weight[1] == 0.0:
@@ -402,6 +414,7 @@ def main():
         "epochs": epochs,
         "augment_speeds": list(speeds),
         "augment_gains": list(gains),
+        "warm_start": args.warm_start,
         "corpus_seconds": round(total_s, 1),
         "train_seconds_with_augment": round(
             total_s * (1 + len(gains) + sum(1 / s for s in speeds)), 1),
