@@ -23,10 +23,14 @@ class StreamMultiplexer:
     scripts/serve_demo.py) instead of the single-stream rate.
 
     Mechanics:
-    - carry lanes attach/detach dynamically: `_attach` splices a fresh
-      (q_zero buffer, learned-h0 hidden, speaker vector) into lane i via
-      dynamic_update_slice; `_masked_push` advances the batch and
-      keeps inactive lanes' state frozen with jnp.where.
+    - carry lanes attach/detach dynamically: acquire() records the
+      lane's speaker row and queues a DEFERRED splice; the pump's
+      `_flush_attaches` splices fresh state (q_zero buffer, learned-h0
+      hidden, speaker vector) into every pending lane in ONE masked
+      device call at the start of its tick — N concurrent connects cost
+      one dispatch, not N (the connect-stampede fix). `_masked_push`
+      advances the batch and keeps inactive lanes' state frozen with
+      jnp.where.
     - the pump fetch-pipelines like the per-connection path: host copies
       start async at dispatch and drain a few ticks behind.
     - PRNG: one key advances per tick for the whole batch (like batched
@@ -88,8 +92,28 @@ class StreamMultiplexer:
                 for h, h1i in zip(hs, h1))
             return (spk_vec, buf, hs, key)
 
+        def attach_many_fn(carry, mask, spk_rows):
+            # splice fresh stream state into EVERY masked lane in one
+            # call: all-lane fresh state (q_zero buffer, learned h0,
+            # spk_expand of the one-hot/mix rows — a one-hot matmul
+            # selects the embedding row exactly, so int-id and row
+            # representations are numerics-identical) + jnp.where.
+            # One device call per pump tick regardless of how many
+            # streams attached in the window — the per-connection
+            # attach dispatch was the N-client connect-stampede cost.
+            fresh = init_state(self.lanes, spk_rows, jax.random.PRNGKey(0))
+            fs, fb, fh, _ = fresh
+            spk_vec, buf, hs, key = carry
+            spk_vec = jnp.where(mask[:, None], fs.astype(spk_vec.dtype),
+                                spk_vec)
+            buf = jnp.where(mask[:, None], fb, buf)
+            hs = tuple(jnp.where(mask[None, :, None], fhi, h)
+                       for fhi, h in zip(fh, hs))
+            return (spk_vec, buf, hs, key)
+
         self._masked_push = masked_push
         self._attach_jit = jax.jit(attach_fn)
+        self._attach_many = jax.jit(attach_many_fn)
         self._carry = init_state(
             self.lanes, jnp.zeros((self.lanes,), jnp.int32),
             jax.random.PRNGKey(seed))
@@ -106,6 +130,14 @@ class StreamMultiplexer:
         self._stop = False
         self._thread = None
         self._inflight = []    # [(device audio, [(lane, gen) served])]
+        # deferred attaches: acquire() only records the lane's speaker
+        # row host-side; the pump splices ALL pending lanes in one
+        # _attach_many call at the start of its next tick (before any
+        # block of theirs can be pushed — feed() happens after acquire()
+        # returns, and the tick pops attaches and blocks under the same
+        # _cv hold). N concurrent connects cost one device call, not N.
+        self._spk_rows = np.zeros((self.lanes, cfg.spk_dim), np.float32)
+        self._pending_attach = set()
         # carry mutations (attach splices vs pump ticks) must be atomic:
         # an attach interleaved inside a pump's read-push-write would be
         # overwritten by the pushed carry. _carry_lock is the outer lock;
@@ -115,10 +147,30 @@ class StreamMultiplexer:
 
     # -- connection side --------------------------------------------------
 
+    @staticmethod
+    def _spk_row(spk, spk_dim):
+        """Normalize a speaker spec (int id, (1,) int array, or (1, S) /
+        (S,) float mix) to a float32 mix row — one-hot selects the
+        embedding row exactly, so this is numerics-identical to the
+        integer gather path."""
+        arr = np.asarray(spk)
+        if arr.dtype.kind in "iu":
+            row = np.zeros((spk_dim,), np.float32)
+            row[int(arr.reshape(-1)[0])] = 1.0
+            return row
+        row = arr.astype(np.float32).reshape(-1)
+        assert row.shape[0] == spk_dim, (row.shape, spk_dim)
+        return row
+
     def acquire(self, spk):
-        """Reserve a lane and splice in a fresh stream state; returns the
-        lane id. Raises Overloaded when all lanes are busy."""
-        import jax.numpy as jnp
+        """Reserve a lane and queue a fresh stream-state splice for it;
+        returns the lane id. Raises Overloaded when all lanes are busy.
+
+        The splice itself is DEFERRED to the pump's next tick
+        (_flush_attaches): it is guaranteed to apply before any of this
+        stream's conditioner blocks are pushed, because feed() can only
+        run after acquire() returns and the pump pops pending attaches
+        and pending blocks under the same _cv hold."""
         with self._cv:
             if not self._free:
                 raise Overloaded(
@@ -127,13 +179,20 @@ class StreamMultiplexer:
             self._gen[lane] += 1
             self._pending[lane] = []
             self._out[lane] = self._queue_cls()
-        # attach OUTSIDE the cv (device call) but atomically wrt pump
-        # ticks; the pump skips lanes with no pending blocks, so the
-        # splice itself cannot race a push of this lane's state
-        with self._carry_lock, self._device_lock:
-            self._carry = self._attach_jit(self._carry, jnp.int32(lane),
-                                           jnp.asarray(spk))
+            self._spk_rows[lane] = self._spk_row(spk, self.cfg.spk_dim)
+            self._pending_attach.add(lane)
         return lane
+
+    def _flush_attaches(self, attach_lanes):
+        """Apply deferred attach splices for `attach_lanes` in ONE device
+        call. MUST be called under _carry_lock + _device_lock."""
+        import jax.numpy as jnp
+        if not attach_lanes:
+            return
+        mask = np.zeros((self.lanes,), bool)
+        mask[list(attach_lanes)] = True
+        self._carry = self._attach_many(
+            self._carry, jnp.asarray(mask), jnp.asarray(self._spk_rows))
 
     def feed(self, lane: int, cond_blocks):
         """Queue (K, C) conditioner blocks for a lane and wake the pump."""
@@ -145,6 +204,7 @@ class StreamMultiplexer:
         with self._cv:
             self._pending.pop(lane, None)
             self._out.pop(lane, None)
+            self._pending_attach.discard(lane)
             self._free.append(lane)
 
     def out_queue(self, lane: int):
@@ -206,12 +266,19 @@ class StreamMultiplexer:
                 if self._stop:
                     break
                 served, cond = [], None
+                attach_lanes = ()
                 if any(self._pending.values()):
                     cond = self._zeros_cond.copy()
                     for lane, blocks in self._pending.items():
                         if blocks:
                             cond[lane] = blocks.pop(0)
                             served.append((lane, self._gen[lane]))
+                    # pop deferred attaches under the SAME _cv hold as
+                    # the block pop: every acquire whose feed produced a
+                    # popped block is in this snapshot (or was applied
+                    # by an earlier tick)
+                    attach_lanes = self._pending_attach
+                    self._pending_attach = set()
             if cond is None:
                 # woke only to drain
                 self._drain_one()
@@ -219,6 +286,7 @@ class StreamMultiplexer:
             active = np.zeros((self.lanes,), bool)
             active[[lane for lane, _ in served]] = True
             with self._carry_lock, self._device_lock:
+                self._flush_attaches(attach_lanes)
                 self._revalidate_served(served, active)
                 if not served:
                     continue

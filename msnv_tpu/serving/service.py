@@ -9,6 +9,10 @@ checkpoint to the HTTP layer (msnv_tpu/serving/httpd.py):
        JSON body: {"cond": [[...frame vectors (effective_cond_dim)...]],
                    "spk": int | [mix weights], "temperature": 1.0,
                    "seed": 0}
+       "cond" may also be a base64 string of little-endian float32
+       frame-major data — ~4x smaller and ~100x cheaper to parse than
+       JSON float lists (the host-side knee under many concurrent
+       streams).
   POST /stream      -> chunked PCM16 (audio/L16;rate=16000): same body;
        audio bytes are flushed per conditioner-frame group as they are
        generated (models/generate.streaming_fn, O(1) server-side state) —
@@ -170,11 +174,30 @@ class VocoderService:
 
     def _parse(self, body: dict):
         import jax.numpy as jnp
-        cond = np.asarray(body["cond"], np.float32)
-        if cond.ndim != 2 or cond.shape[1] != self.cfg.effective_cond_dim:
+        C = self.cfg.effective_cond_dim
+        raw = body["cond"]
+        if isinstance(raw, str):
+            # binary conditioners: base64 of little-endian float32,
+            # frame-major (frames, C). A 2 s request is ~180 KB of b64
+            # vs ~700 KB of JSON floats, and np.frombuffer replaces the
+            # float-list parse — the dominant per-request host cost at
+            # 100+ concurrent streams (GIL-bound JSON stampede).
+            import base64
+            import binascii
+            try:
+                buf = base64.b64decode(raw, validate=True)
+            except binascii.Error as e:
+                raise ValueError(f"cond base64: {e}")
+            if len(buf) % (4 * C):
+                raise ValueError(
+                    f"cond base64 payload ({len(buf)} bytes) is not a "
+                    f"whole number of {C}-dim float32 frames")
+            cond = np.frombuffer(buf, "<f4").reshape(-1, C)
+        else:
+            cond = np.asarray(raw, np.float32)
+        if cond.ndim != 2 or cond.shape[1] != C:
             raise ValueError(
-                f"cond must be (frames, {self.cfg.effective_cond_dim}), "
-                f"got {cond.shape}")
+                f"cond must be (frames, {C}), got {cond.shape}")
         spk = body.get("spk", 0)
         if isinstance(spk, (list, tuple)):
             spk_arr = np.asarray([spk], np.float32)   # embedding mix

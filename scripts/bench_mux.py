@@ -32,6 +32,9 @@ def main():
     p.add_argument("--seconds", type=float, default=2.0)
     p.add_argument("--frames_per_push", type=int, default=4)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--json_cond", action="store_true",
+                   help="send conditioners as JSON float lists instead "
+                        "of the base64-f32 fast path")
     args = p.parse_args()
 
     import jax
@@ -58,9 +61,13 @@ def main():
     frames = max(int(args.seconds * 16000) // m.lookback,
                  args.frames_per_push)
     rng = np.random.RandomState(0)
-    body = json.dumps({
-        "cond": rng.rand(frames, m.effective_cond_dim).tolist(),
-        "spk": 0})
+    cond_arr = rng.rand(frames, m.effective_cond_dim).astype(np.float32)
+    if args.json_cond:
+        cond_field = cond_arr.tolist()
+    else:
+        import base64
+        cond_field = base64.b64encode(cond_arr.tobytes()).decode()
+    body = json.dumps({"cond": cond_field, "spk": 0})
 
     def one_request(i, out):
         c = http.client.HTTPConnection(*addr, timeout=600)

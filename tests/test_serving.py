@@ -481,3 +481,44 @@ def test_read_timeout_drops_stalled_connection():
         assert time.monotonic() - t0 < 30
     finally:
         srv.shutdown()
+
+
+def test_b64_cond_payload_matches_json():
+    """'cond' as base64 little-endian f32 parses to the same array as the
+    JSON float-list form (and bad payloads 400 cleanly)."""
+    import base64
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    svc = VocoderService(params, CFG, name="b64")
+    rng = np.random.RandomState(5)
+    cond = rng.rand(7, CFG.effective_cond_dim).astype(np.float32)
+    b64 = base64.b64encode(cond.tobytes()).decode()
+    cj, sj, tj, _ = svc._parse({"cond": cond.tolist(), "spk": 1})
+    cb, sb, tb, _ = svc._parse({"cond": b64, "spk": 1})
+    np.testing.assert_array_equal(np.asarray(cj), np.asarray(cb))
+    with pytest.raises(ValueError, match="base64"):
+        svc._parse({"cond": "!!!not-base64!!!", "spk": 0})
+    with pytest.raises(ValueError, match="whole number"):
+        svc._parse({"cond": base64.b64encode(b"\x00" * 6).decode(),
+                    "spk": 0})
+    # end-to-end: /synthesize with a b64 body returns identical audio to
+    # the JSON body (same seed/shape -> same program and key)
+    import json as _json
+    import threading
+    import http.client
+    srv = make_server(svc, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        outs = []
+        for field in (cond.tolist(), b64):
+            c = http.client.HTTPConnection(*srv.server_address, timeout=60)
+            c.request("POST", "/synthesize",
+                      _json.dumps({"cond": field, "spk": 1, "seed": 3}),
+                      {"Content-Type": "application/json"})
+            r = c.getresponse()
+            assert r.status == 200
+            outs.append(r.read())
+            c.close()
+        assert outs[0] == outs[1]
+    finally:
+        srv.shutdown()

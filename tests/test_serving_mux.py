@@ -50,15 +50,32 @@ def test_masked_push_freezes_inactive_lanes():
 
 
 def test_attach_splices_fresh_state():
+    """acquire() defers the splice; the pump's _flush_attaches applies
+    every pending lane in one device call (round-4 stampede fix). After
+    the flush the lane must hold fresh state (q_zero buffer, learned h0)
+    while other lanes' dirty state is untouched."""
     mux = StreamMultiplexer(_params(), CFG, lanes=3, frames_per_push=1)
     # dirty every lane first
     cond = jnp.ones((3, CFG.effective_cond_dim), jnp.float32)
     mux._carry, _ = mux._masked_push(mux._carry, cond,
                                      jnp.asarray([True] * 3))
+    _, dirty_buf, dirty_hs, _ = mux._carry
     lane = mux.acquire(np.asarray([2], np.int32))
+    assert lane in mux._pending_attach          # deferred, not applied
+    with mux._cv:
+        attach = mux._pending_attach
+        mux._pending_attach = set()
+    with mux._carry_lock, mux._device_lock:
+        mux._flush_attaches(attach)             # what a pump tick does
     _, buf, hs, _ = mux._carry
     from msnv_tpu.ops.quantize import q_zero
     assert (np.asarray(buf)[lane] == q_zero(CFG.q_levels)).all()
+    other = next(i for i in range(3) if i != lane)
+    np.testing.assert_array_equal(np.asarray(buf)[other],
+                                  np.asarray(dirty_buf)[other])
+    for h_d, h in zip(dirty_hs, hs):
+        np.testing.assert_array_equal(np.asarray(h)[:, other],
+                                      np.asarray(h_d)[:, other])
     mux.release(lane)
 
 
