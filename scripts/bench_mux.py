@@ -122,6 +122,7 @@ def main():
         "audio_s_per_request": round(audio_s, 2),
         "per_stream_rtf_mean": round(float(rtfs.mean()), 2),
         "per_stream_rtf_min": round(float(rtfs.min()), 2),
+        "streams_realtime": int((rtfs >= 1.0).sum()),
         "aggregate_audio_s_per_s": round(float(
             args.streams * audio_s / wall), 1),
         "first_audio_ms_p50": round(float(np.percentile(firsts, 50)), 1),
