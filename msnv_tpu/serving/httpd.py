@@ -123,4 +123,12 @@ def make_server(service: VocoderService, host: str = "127.0.0.1",
                    {"service": service,
                     "timeout": float(timeout_s),
                     "max_body": int(max_body)})
-    return ThreadingHTTPServer((host, port), handler)
+
+    class _Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5: a connect stampede
+        # of N mux clients overflows it and the kernel RSTs the overflow
+        # (measured: 10/128 simultaneous connects reset). Size it to the
+        # serving envelope (mux lanes + stream slots + slack).
+        request_queue_size = 512
+
+    return _Server((host, port), handler)

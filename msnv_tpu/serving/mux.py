@@ -228,12 +228,18 @@ class StreamMultiplexer:
     def _drain_one(self):
         audio_dev, served = self._inflight.pop(0)
         audio = np.asarray(audio_dev)
+        # one vectorized float->PCM16 convert per tick instead of one
+        # per lane per handler thread (the handlers just .tobytes()):
+        # at N lanes this moves N small GIL-holding converts into a
+        # single numpy pass — out_queue consumers receive int16 rows
+        pcm = (np.clip(audio, -1.0, 1.0 - 1.0 / 32768)
+               * 32768.0).astype("<i2")
         for lane, gen in served:
             # drop audio of released streams; the gen check stops a
             # recycled lane's new occupant from receiving it
             q = self._out.get(lane)
             if q is not None and self._gen[lane] == gen:
-                q.put(audio[lane])
+                q.put(pcm[lane])
 
     def _revalidate_served(self, served, active):
         """Drop lanes recycled between their block pop and the push.

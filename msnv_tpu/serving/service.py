@@ -445,17 +445,33 @@ class VocoderService:
         lane = mux.acquire(spk)          # raises Overloaded when full
 
         def body():
+            import queue as _q
             blocks = [cond_np[i:i + K]
                       for i in range(0, len(cond_np), K)]
             mux.feed(lane, blocks)
             q = mux.out_queue(lane)
             remaining = n * self.cfg.lookback
-            for _ in range(len(blocks)):
-                audio = q.get(timeout=120.0)
-                take = min(len(audio), remaining)
+            got = 0
+            while got < len(blocks):
+                # coalesce whatever ticks have already drained into ONE
+                # chunked write: under load a handler thread that fell
+                # behind catches up with one syscall instead of one
+                # write+flush per 5*K ms chunk (rows arrive as PCM16
+                # from the pump's vectorized convert)
+                pieces = [q.get(timeout=120.0)]
+                got += 1
+                while got < len(blocks):
+                    try:
+                        pieces.append(q.get_nowait())
+                        got += 1
+                    except _q.Empty:
+                        break
+                buf = (np.concatenate(pieces) if len(pieces) > 1
+                       else pieces[0])
+                take = min(len(buf), remaining)
                 remaining -= take
                 if take > 0:
-                    yield pcm16_bytes(audio[:take])
+                    yield buf[:take].tobytes()
 
         # _armed: the lane must be released even if the caller errors
         # before ever iterating the returned generator

@@ -25,6 +25,74 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def direct_mux_bench(args, m, params):
+    """N concurrent streams through StreamMultiplexer WITHOUT HTTP: each
+    client thread acquires a lane, feeds its cond blocks, and drains its
+    out-queue. Measures the serving engine's envelope; the gap to the
+    default HTTP mode is the stdlib front-end + colocated-client cost."""
+    import jax
+    from msnv_tpu.serving import StreamMultiplexer
+
+    mux = StreamMultiplexer(params, m, lanes=args.lanes,
+                            frames_per_push=args.frames_per_push)
+    mux.start()
+    rng = np.random.RandomState(0)
+    frames = max(int(args.seconds * 16000) // m.lookback,
+                 args.frames_per_push)
+    frames -= frames % args.frames_per_push
+    cond = rng.rand(frames, m.effective_cond_dim).astype(np.float32)
+    blocks = [cond[i:i + args.frames_per_push]
+              for i in range(0, frames, args.frames_per_push)]
+
+    def client(i, out):
+        try:
+            t0 = time.perf_counter()
+            lane = mux.acquire(np.asarray([i % m.spk_dim], np.int32))
+            mux.feed(lane, blocks)
+            q = mux.out_queue(lane)
+            total = 0
+            for _ in range(len(blocks)):
+                total += len(q.get(timeout=600))
+            mux.release(lane)
+            out[i] = (time.perf_counter() - t0, total)
+        except Exception as e:   # noqa: BLE001 — reported below
+            out[i] = e
+
+    warm = {}
+    client(0, warm)
+    assert warm[0][1] == frames * m.lookback, warm
+    out = {}
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i, out))
+               for i in range(args.streams)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    wall = time.perf_counter() - t0
+    errors = {i: repr(v) for i, v in out.items()
+              if not isinstance(v, tuple)}
+    assert not errors, f"{len(errors)} failed streams: {errors}"
+    assert len(out) == args.streams
+    audio_s = frames * m.lookback / 16000.0
+    rtfs = np.asarray([audio_s / v[0] for v in out.values()])
+    print(json.dumps({
+        "bench": "mux_direct_engine",
+        "platform": jax.devices()[0].platform,
+        "device": jax.devices()[0].device_kind,
+        "streams": args.streams,
+        "lanes": args.lanes,
+        "frames_per_push": args.frames_per_push,
+        "audio_s_per_request": round(audio_s, 2),
+        "per_stream_rtf_mean": round(float(rtfs.mean()), 2),
+        "per_stream_rtf_min": round(float(rtfs.min()), 2),
+        "streams_realtime": int((rtfs >= 1.0).sum()),
+        "aggregate_audio_s_per_s": round(float(
+            args.streams * audio_s / wall), 1),
+    }))
+    mux.stop()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--streams", type=int, default=32)
@@ -35,6 +103,12 @@ def main():
     p.add_argument("--json_cond", action="store_true",
                    help="send conditioners as JSON float lists instead "
                         "of the base64-f32 fast path")
+    p.add_argument("--direct", action="store_true",
+                   help="drive StreamMultiplexer directly (no HTTP): "
+                        "measures the serving ENGINE; the delta vs the "
+                        "default HTTP mode is the stdlib-HTTP/socket "
+                        "front-end cost (docs/DESIGN.md 'Serving host "
+                        "ceiling')")
     args = p.parse_args()
 
     import jax
@@ -51,6 +125,8 @@ def main():
     cfg = preset("tiny_unconditional" if args.tiny else "samplernn")
     m = cfg.model
     params = init_params(jax.random.PRNGKey(0), m)
+    if args.direct:
+        return direct_mux_bench(args, m, params)
     service = VocoderService(params, m,
                              frames_per_push=args.frames_per_push,
                              mux_lanes=args.lanes, name="bench-mux")
@@ -70,6 +146,12 @@ def main():
     body = json.dumps({"cond": cond_field, "spk": 0})
 
     def one_request(i, out):
+        try:
+            _one_request(i, out)
+        except Exception as e:   # noqa: BLE001 — recorded, reported below
+            out[i] = e
+
+    def _one_request(i, out):
         c = http.client.HTTPConnection(*addr, timeout=600)
         t0 = time.perf_counter()
         while True:       # 429 = all lanes busy; back off and retry
@@ -108,6 +190,9 @@ def main():
     wall = time.perf_counter() - t0
 
     audio_s = frames * m.lookback / 16000.0
+    errors = {i: repr(v) for i, v in out.items()
+              if not isinstance(v, tuple)}
+    assert not errors, f"{len(errors)} failed streams: {errors}"
     assert len(out) == args.streams, (len(out), args.streams)
     assert all(v[2] == frames * m.lookback * 2 for v in out.values())
     rtfs = np.asarray([audio_s / v[1] for v in out.values()])
