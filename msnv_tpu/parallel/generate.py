@@ -90,3 +90,70 @@ def sharded_generate_fn_dynamic(cfg: ModelConfig, mesh, compute_dtype=None,
         check_rep=False,
     )
     return jax.jit(fn)
+
+
+def sharded_streaming_fn(params, cfg: ModelConfig, mesh,
+                         frames_per_push: int = 1, compute_dtype=None,
+                         use_pallas=False, pallas_opts=None,
+                         temperature=1.0):
+    """Streaming push sharded over mesh axis 'data' (round 4): the
+    multi-chip form of models.generate.streaming_fn, so a pod slice can
+    carry one lane-batched stream state with lanes sharded across chips
+    (the mux-over-mesh building block; SURVEY §5.8).
+
+    Returns (init_state, push):
+      init_state(spk (B,), [key]) -> carry with every batch-axis leaf
+        sharded on 'data' (B must divide by the data-axis size); the
+        carried PRNG key gains a leading shard axis (one key per shard).
+      push(carry, cond (B, C) or (B, K, C)) -> (carry, audio, samples)
+        sharded the same way.
+
+    Contract (same as sharded_generate_fn): each shard folds its
+    data-axis index into the init key, so the sharded stream is defined
+    as N independent local streams over the batch shards — per-shard
+    equality against local streaming_fn pushes with the folded key is
+    exact (asserted in tests/test_parallel.py).
+    """
+    from msnv_tpu.models.generate import streaming_fn
+
+    init_local, push_local = streaming_fn(
+        params, cfg, compute_dtype=compute_dtype, use_pallas=use_pallas,
+        pallas_opts=pallas_opts, frames_per_push=frames_per_push,
+        temperature=temperature)
+
+    # carry = (spk_vec (B,D), buf (B,lookback), hs tuple of (n_rnn,B,D),
+    #          key (+lead shard axis))
+    hs_spec = tuple(P(None, "data") for _ in params["tiers"])
+    carry_specs = (P("data"), P("data"), hs_spec, P("data"))
+
+    def init_body(spk, key):
+        idx = jax.lax.axis_index("data")
+        spk_vec, buf, hs, k = init_local(
+            spk.shape[0], spk, jax.random.fold_in(key, idx))
+        return spk_vec, buf, hs, k[None]
+
+    init_fn = jax.jit(shard_map(
+        init_body, mesh=mesh, in_specs=(P("data"), P()),
+        out_specs=carry_specs, check_rep=False))
+
+    def push_body(spk_vec, buf, hs, key, cond):
+        carry2, audio, samples = push_local(
+            (spk_vec, buf, hs, key[0]), cond)
+        s2, b2, h2, k2 = carry2
+        return s2, b2, h2, k2[None], audio, samples
+
+    push_fn = jax.jit(shard_map(
+        push_body, mesh=mesh, in_specs=carry_specs + (P("data"),),
+        out_specs=carry_specs + (P("data"), P("data")),
+        check_rep=False))
+
+    def init_state(spk, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return tuple(init_fn(spk, key))
+
+    def push(carry, cond):
+        spk_vec, buf, hs, key, audio, samples = push_fn(*carry, cond)
+        return (spk_vec, buf, hs, key), audio, samples
+
+    return init_state, push

@@ -486,3 +486,44 @@ def test_sharded_serving_synthesize():
     finally:
         svc.close()
         srv.shutdown()
+
+
+def test_sharded_streaming_push():
+    """Round 4: the streaming push sharded over 'data' (the mux-over-mesh
+    building block) — K-frame pushes with carry threading equal local
+    streaming_fn streams on every shard under the folded-key contract."""
+    from msnv_tpu.models.generate import streaming_fn
+    from msnv_tpu.parallel.generate import sharded_streaming_fn
+
+    m = ModelConfig(frame_sizes=(4, 4), n_rnn=1, dim=16, cond_dim=5,
+                    spk_dim=2)
+    params = init_params(jax.random.PRNGKey(0), m)
+    mesh = make_mesh(n_data=4, n_model=1)
+    rng = np.random.RandomState(3)
+    B, K, pushes = 8, 2, 3
+    spk = jnp.asarray(rng.randint(0, 2, (B,)), jnp.int32)
+    conds = [jnp.asarray(rng.rand(B, K, 5), jnp.float32)
+             for _ in range(pushes)]
+    key = jax.random.PRNGKey(11)
+
+    init_state, push = sharded_streaming_fn(params, m, mesh,
+                                            frames_per_push=K)
+    carry = init_state(spk, key)
+    outs = []
+    for cond in conds:
+        carry, audio, samples = push(carry, cond)
+        assert audio.shape == (B, K * m.lookback)
+        outs.append(np.asarray(samples))
+    got = np.concatenate(outs, axis=1)
+
+    init_l, push_l = streaming_fn(params, m, frames_per_push=K)
+    shard = B // 4
+    for i in range(4):
+        lc = init_l(shard, spk[i * shard:(i + 1) * shard],
+                    jax.random.fold_in(key, i))
+        ref = []
+        for cond in conds:
+            lc, _, s = push_l(lc, cond[i * shard:(i + 1) * shard])
+            ref.append(np.asarray(s))
+        np.testing.assert_array_equal(
+            np.concatenate(ref, axis=1), got[i * shard:(i + 1) * shard])
