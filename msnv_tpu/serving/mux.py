@@ -44,7 +44,7 @@ class StreamMultiplexer:
 
     def __init__(self, params, cfg: ModelConfig, lanes: int = 32,
                  frames_per_push: int = 4, temperature: float = 1.0,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
         import queue as _queue
 
         import jax
@@ -55,14 +55,37 @@ class StreamMultiplexer:
         self.lanes = int(lanes)
         self.K = int(frames_per_push)
         self.temperature = float(temperature)
+        self.mesh = mesh
         on_tpu = jax.devices()[0].platform == "tpu"
         use_pallas = on_tpu and temperature > 0.0
-        init_state, push = streaming_fn(
-            params, cfg, frames_per_push=self.K,
-            compute_dtype=jnp.bfloat16 if on_tpu else None,
-            use_pallas=use_pallas,
-            pallas_opts={"v2": True} if use_pallas else None,
-            temperature=temperature)
+        if mesh is not None:
+            # mux-over-mesh: the carry's lane axis is sharded over the
+            # mesh's 'data' axis (parallel.sharded_streaming_fn) — one
+            # pump drives lanes spread across a pod slice. The masked
+            # freeze / attach splices below are plain elementwise ops on
+            # the sharded carry; XLA keeps them shard-local under jit.
+            from msnv_tpu.parallel.generate import sharded_streaming_fn
+            shards = int(mesh.shape["data"])
+            assert self.lanes % shards == 0, (
+                f"mux lanes {self.lanes} must divide by the mesh data "
+                f"axis {shards}")
+            s_init, push = sharded_streaming_fn(
+                params, cfg, mesh, frames_per_push=self.K,
+                compute_dtype=jnp.bfloat16 if on_tpu else None,
+                use_pallas=use_pallas,
+                pallas_opts={"v2": True} if use_pallas else None,
+                temperature=temperature)
+
+            def init_state(batch, spk, key=None):
+                assert batch == self.lanes, (batch, self.lanes)
+                return s_init(jnp.asarray(spk), key)
+        else:
+            init_state, push = streaming_fn(
+                params, cfg, frames_per_push=self.K,
+                compute_dtype=jnp.bfloat16 if on_tpu else None,
+                use_pallas=use_pallas,
+                pallas_opts={"v2": True} if use_pallas else None,
+                temperature=temperature)
 
         @jax.jit
         def masked_push(carry, cond, active):

@@ -108,10 +108,12 @@ class VocoderService:
         # path above.
         self._mux = None
         if mux_lanes > 0:
+            # with a mesh, mux lanes shard over its 'data' axis (the
+            # /stream counterpart of the sharded /synthesize path)
             self._mux = StreamMultiplexer(
                 params, cfg, lanes=mux_lanes,
                 frames_per_push=max(self.frames_per_push, 1),
-                temperature=self.temperature_default)
+                temperature=self.temperature_default, mesh=mesh)
             self._mux.start(device_lock=self._lock)
 
     def close(self) -> None:

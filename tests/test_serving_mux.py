@@ -223,3 +223,65 @@ def test_unstarted_stream_generator_releases_lane():
         assert b"".join(s2)
     finally:
         service.close()
+
+
+def test_mux_over_mesh_http_streams():
+    """Round 4: mux lanes sharded over a virtual device mesh — the
+    /stream counterpart of the sharded /synthesize path. Real HTTP
+    through the mesh-backed pump; every client gets its full PCM16
+    audio, and the masked push freezes inactive lanes on the sharded
+    carry exactly as on one device."""
+    from msnv_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    params = _params()
+    mux = StreamMultiplexer(params, CFG, lanes=8, frames_per_push=2,
+                            mesh=mesh)
+    carry0 = mux._carry
+    cond = jnp.asarray(np.random.RandomState(0).rand(
+        8, 2, CFG.effective_cond_dim), jnp.float32)
+    active = jnp.asarray([True, False] * 4)
+    carry1, audio = mux._masked_push(carry0, cond, active)
+    assert audio.shape == (8, 2 * CFG.lookback)
+    _, buf0, hs0, _ = carry0
+    _, buf1, hs1, _ = carry1
+    for lane in (1, 3, 5, 7):
+        np.testing.assert_array_equal(np.asarray(buf1)[lane],
+                                      np.asarray(buf0)[lane])
+    assert not np.array_equal(np.asarray(buf1)[0], np.asarray(buf0)[0])
+
+    service = VocoderService(params, CFG, frames_per_push=2,
+                             mux_lanes=8, mesh=mesh)
+    srv = make_server(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        frames = 4
+        rng = np.random.RandomState(1)
+        body = json.dumps({
+            "cond": rng.rand(frames, CFG.effective_cond_dim).tolist(),
+            "spk": 1})
+        results = {}
+
+        def client(i):
+            c = http.client.HTTPConnection(*srv.server_address,
+                                           timeout=300)
+            c.request("POST", "/stream", body,
+                      {"Content-Type": "application/json"})
+            r = c.getresponse()
+            assert r.status == 200, r.status
+            results[i] = r.read()
+            c.close()
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert len(results) == 4
+        for pcm in results.values():
+            assert len(pcm) == frames * CFG.lookback * 2
+    finally:
+        srv.shutdown()
+        service.close()
