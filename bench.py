@@ -386,17 +386,24 @@ def main():
     # non-trivially sized (>= 9 tests, VERDICT r03 item 4).
     mux_floor = int(os.environ.get("BENCH_MUX_FLOOR", "96"))
     mux_http_floor = int(os.environ.get("BENCH_MUX_HTTP_FLOOR", "40"))
-    mux_bad = mux is not None and (
-        mux.get("mux_direct", {}).get("streams_realtime", 0) < mux_floor
+    # a section that was REQUESTED but came back missing/errored is a
+    # regression, not a silent pass: an infra failure in the mux or
+    # on-chip subprocess must not read as green (ADVICE r04)
+    mux_requested = on_tpu and os.environ.get("BENCH_MUX", "1") == "1"
+    onchip_requested = on_tpu and os.environ.get("BENCH_ONCHIP", "1") == "1"
+    mux_bad = (mux_requested and (
+        mux is None
+        or mux.get("mux_direct", {}).get("streams_realtime", 0) < mux_floor
         or mux.get("mux_http", {}).get("streams_realtime",
-                                       0) < mux_http_floor)
+                                       0) < mux_http_floor))
+    onchip_bad = (onchip_requested and (
+        onchip is None
+        or onchip.get("failed", 0) + onchip.get("error", 0) > 0
+        or onchip.get("passed", 0) < 9))
     regression = bool(on_tpu and (
         gen_tput < 530.0 or train_tput < 3.3e6
         or (gan_tput is not None and gan_tput < 6e5)
-        or mux_bad
-        or (onchip is not None and
-            (onchip.get("failed", 0) + onchip.get("error", 0) > 0
-             or onchip.get("passed", 0) < 9))))
+        or mux_bad or onchip_bad))
 
     result = {
         "metric": "generation_audio_seconds_per_s_per_chip",

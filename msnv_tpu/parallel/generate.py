@@ -148,6 +148,11 @@ def sharded_streaming_fn(params, cfg: ModelConfig, mesh,
         check_rep=False))
 
     def init_state(spk, key=None):
+        shards = int(mesh.shape["data"])
+        b = int(spk.shape[0])
+        assert b % shards == 0, (
+            f"stream batch {b} must divide by the mesh 'data' axis size "
+            f"{shards} (each shard carries B/shards lanes)")
         if key is None:
             key = jax.random.PRNGKey(0)
         return tuple(init_fn(spk, key))

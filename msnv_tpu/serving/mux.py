@@ -102,19 +102,6 @@ class StreamMultiplexer:
                         for h2, h in zip(hs2, hs))
             return (spk_vec, buf3, hs3, key2), audio
 
-        def attach_fn(carry, lane, spk):
-            fresh = init_state(1, spk, jax.random.PRNGKey(0))
-            s1, b1, h1, _ = fresh
-            spk_vec, buf, hs, key = carry
-            zero = jnp.int32(0)
-            spk_vec = jax.lax.dynamic_update_slice(
-                spk_vec, s1.astype(spk_vec.dtype), (lane, zero))
-            buf = jax.lax.dynamic_update_slice(buf, b1, (lane, zero))
-            hs = tuple(
-                jax.lax.dynamic_update_slice(h, h1i, (zero, lane, zero))
-                for h, h1i in zip(hs, h1))
-            return (spk_vec, buf, hs, key)
-
         def attach_many_fn(carry, mask, spk_rows):
             # splice fresh stream state into EVERY masked lane in one
             # call: all-lane fresh state (q_zero buffer, learned h0,
@@ -135,7 +122,6 @@ class StreamMultiplexer:
             return (spk_vec, buf, hs, key)
 
         self._masked_push = masked_push
-        self._attach_jit = jax.jit(attach_fn)
         self._attach_many = jax.jit(attach_many_fn)
         self._carry = init_state(
             self.lanes, jnp.zeros((self.lanes,), jnp.int32),

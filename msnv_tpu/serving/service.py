@@ -63,8 +63,9 @@ class VocoderService:
         # /synthesize group call runs parallel.generate.
         # sharded_generate_fn_dynamic — request lanes shard over the
         # 'data' axis, params replicate, each chip generates its shard
-        # (per-shard folded keys). Streaming/mux stay single-device (a
-        # 1-lane carry has nothing to shard).
+        # (per-shard folded keys). Mux lanes likewise shard over 'data'
+        # (StreamMultiplexer mesh mode); only the per-connection /stream
+        # path stays single-device (a 1-lane carry has nothing to shard).
         self.mesh = mesh
         self._mesh_shards = int(mesh.shape["data"]) if mesh is not None else 1
         # AOT generation artifact (msnv_tpu/export.py): requests whose
