@@ -47,6 +47,12 @@ def main(argv=None):
                         "shards (multi-chip serving; params replicate, "
                         "each chip generates its lane shard with a "
                         "per-shard folded key). 0/1 = single device.")
+    p.add_argument("--frontend", choices=("aio", "threaded"),
+                   default="aio",
+                   help="HTTP front-end: 'aio' (selector-based, one "
+                        "event-loop thread serves all /stream "
+                        "connections — the many-stream default) or "
+                        "'threaded' (stdlib thread-per-connection)")
     p.add_argument("--timeout_s", type=float, default=60.0,
                    help="per-connection socket read/write timeout")
     p.add_argument("--max_body_mb", type=float, default=64.0,
@@ -84,12 +90,26 @@ def main(argv=None):
                              max_streams=args.max_streams,
                              name=tag, artifact=artifact,
                              mux_lanes=args.mux_lanes)
-    server = make_server(service, args.host, args.port,
-                         timeout_s=args.timeout_s,
-                         max_body=int(args.max_body_mb * (1 << 20)))
-    print(f"serving {tag} on http://{args.host}:"
-          f"{server.server_address[1]}")
-    server.serve_forever()
+    max_body = int(args.max_body_mb * (1 << 20))
+    if args.frontend == "aio":
+        from msnv_tpu.serving.aio import make_async_server
+        server = make_async_server(service, args.host, args.port,
+                                   timeout_s=args.timeout_s,
+                                   max_body=max_body)
+        server.start()
+        print(f"serving {tag} on http://{args.host}:"
+              f"{server.server_address[1]} (aio front-end)")
+        try:
+            server._thread.join()
+        except KeyboardInterrupt:
+            server.shutdown()
+    else:
+        server = make_server(service, args.host, args.port,
+                             timeout_s=args.timeout_s,
+                             max_body=max_body)
+        print(f"serving {tag} on http://{args.host}:"
+              f"{server.server_address[1]}")
+        server.serve_forever()
 
 
 if __name__ == "__main__":

@@ -132,6 +132,8 @@ class StreamMultiplexer:
         self._free = list(range(self.lanes))
         self._pending = {}     # lane -> list of (K, C) np blocks, FIFO
         self._out = {}         # lane -> queue.Queue of np audio chunks
+        self._sinks = {}       # lane -> callable(bytes): direct delivery
+        #                        (async front-end); bypasses _out
         self._gen = [0] * self.lanes   # lane reuse epoch: in-flight audio
         #                                of a released stream must never
         #                                reach the lane's NEXT occupant
@@ -213,11 +215,21 @@ class StreamMultiplexer:
         with self._cv:
             self._pending.pop(lane, None)
             self._out.pop(lane, None)
+            self._sinks.pop(lane, None)
             self._pending_attach.discard(lane)
             self._free.append(lane)
 
     def out_queue(self, lane: int):
         return self._out[lane]
+
+    def set_sink(self, lane: int, cb) -> None:
+        """Route the lane's audio to `cb(pcm16_bytes)` instead of its
+        out-queue. `cb` is invoked from the PUMP thread once per drained
+        tick — it must be cheap and non-blocking (the async front-end's
+        sink just records the bytes and schedules one event-loop wakeup).
+        Cleared automatically on release()."""
+        with self._cv:
+            self._sinks[lane] = cb
 
     # -- pump -------------------------------------------------------------
 
@@ -246,8 +258,14 @@ class StreamMultiplexer:
         for lane, gen in served:
             # drop audio of released streams; the gen check stops a
             # recycled lane's new occupant from receiving it
+            if self._gen[lane] != gen:
+                continue
+            sink = self._sinks.get(lane)
+            if sink is not None:
+                sink(pcm[lane].tobytes())
+                continue
             q = self._out.get(lane)
-            if q is not None and self._gen[lane] == gen:
+            if q is not None:
                 q.put(pcm[lane])
 
     def _revalidate_served(self, served, active):

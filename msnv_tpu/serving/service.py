@@ -176,7 +176,6 @@ class VocoderService:
     # -- request plumbing ------------------------------------------------
 
     def _parse(self, body: dict):
-        import jax.numpy as jnp
         C = self.cfg.effective_cond_dim
         raw = body["cond"]
         if isinstance(raw, str):
@@ -213,7 +212,13 @@ class VocoderService:
         temperature = float(body.get("temperature",
                                      self.temperature_default))
         seed = int(body.get("seed", 0))
-        return jnp.asarray(cond), jnp.asarray(spk_arr), temperature, seed
+        # cond/spk stay HOST-side numpy: the jitted callables upload them
+        # exactly where needed (one H2D per group call / pump tick). The
+        # earlier jnp.asarray here cost every mux admission a blocking
+        # device ROUND-TRIP (upload + the mux path's np.asarray readback,
+        # serialized behind pump traffic on the tunnel — ~90 ms each, the
+        # round-5 async-front-end stall; see docs/DESIGN.md).
+        return cond, spk_arr, temperature, seed
 
     def healthz(self) -> dict:
         return {"status": "ok", "model": self.name,
@@ -242,9 +247,8 @@ class VocoderService:
         # compile count is bounded by the number of buckets, not lengths
         padded = -(-n // self.frame_bucket) * self.frame_bucket
         if padded != n:
-            import jax.numpy as jnp
-            cond = jnp.concatenate(
-                [cond, jnp.repeat(cond[-1:], padded - n, axis=0)], axis=0)
+            cond = np.concatenate(
+                [cond, np.repeat(cond[-1:], padded - n, axis=0)], axis=0)
         item = {"cond": cond, "spk": spk, "seed": seed, "n": n}
         gkey = (padded, temperature,
                 "f" if np.asarray(spk).dtype.kind == "f" else "i")
@@ -398,6 +402,18 @@ class VocoderService:
 
         return init_state, push
 
+    def parse_stream(self, body: dict):
+        """Parse a /stream body and classify its path. Returns
+        (cond, spk, temperature, seed, mux_eligible); raises
+        ValueError/KeyError on malformed requests BEFORE any resource is
+        taken. Used by the async front-end (serving/aio.py), which needs
+        the raw lane machinery rather than the blocking iterator."""
+        cond, spk, temperature, seed = self._parse(body)
+        eligible = (self._mux is not None
+                    and temperature == self._mux.temperature
+                    and "seed" not in body)
+        return cond, spk, temperature, seed, eligible
+
     def stream(self, body: dict):
         """Yield PCM16 chunks as frame groups are generated. Trailing
         frames beyond a multiple of `frames_per_push` finish with 1-frame
@@ -407,15 +423,14 @@ class VocoderService:
         Raises Overloaded (HTTP 429) beyond `max_streams` concurrent
         streams; the slot is released when the generator finishes or is
         closed (client disconnect included)."""
-        args = self._parse(body)   # 400s must not consume a slot
-        cond, spk, temperature, seed = args
-        if (self._mux is not None
-                and temperature == self._mux.temperature
-                and "seed" not in body):
+        # 400s must not consume a slot: parse before acquiring anything
+        cond, spk, temperature, seed, eligible = self.parse_stream(body)
+        if eligible:
             # seed-less default-temperature streams ride the multiplexer;
             # an explicit seed requests reproducible audio, which the
             # shared-key mux cannot honor — fall through to per-connection
             return self._mux_stream_iter(cond, spk)
+        args = (cond, spk, temperature, seed)
         if self.max_streams <= 0 or \
                 not self._stream_slots.acquire(blocking=False):
             raise Overloaded(

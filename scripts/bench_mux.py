@@ -13,6 +13,7 @@ Prints one JSON line; recorded in docs/VALIDATION.md.
 """
 
 import argparse
+import asyncio
 import http.client
 import json
 import os
@@ -93,6 +94,58 @@ def direct_mux_bench(args, m, params):
     mux.stop()
 
 
+async def _aio_clients(addr, body: bytes, n_streams: int,
+                       expect_bytes: int, first_bytes: int):
+    """Single-threaded async load generator: N concurrent /stream
+    clients in one event loop (the wrk-style measurement — client-side
+    thread scheduling must not be what the server bench measures).
+    Returns {i: (t_first_s, t_total_s, bytes)}."""
+    req = (f"POST /stream HTTP/1.1\r\nHost: bench\r\n"
+           f"Content-Type: application/json\r\n"
+           f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+
+    async def one(i, out):
+        reader, writer = await asyncio.open_connection(*addr)
+        try:
+            t0 = time.perf_counter()
+            while True:       # 429 = all lanes busy; back off and retry
+                writer.write(req)
+                await writer.drain()
+                line = await reader.readline()
+                status = int(line.split()[1])
+                headers = {}
+                while True:
+                    h = await reader.readline()
+                    if h in (b"\r\n", b""):
+                        break
+                    k, _, v = h.decode("latin1").partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                if status != 429:
+                    break
+                clen = int(headers.get("content-length", 0))
+                if clen:
+                    await reader.readexactly(clen)
+                await asyncio.sleep(0.05)
+            assert status == 200, status
+            total, t_first = 0, None
+            while True:
+                size = int((await reader.readline()).strip(), 16)
+                if size == 0:
+                    await reader.readline()      # trailing CRLF
+                    break
+                await reader.readexactly(size + 2)
+                total += size
+                if t_first is None and total >= first_bytes:
+                    t_first = time.perf_counter() - t0
+            out[i] = (t_first, time.perf_counter() - t0, total)
+        finally:
+            writer.close()
+
+    out = {}
+    await asyncio.gather(*(one(i, out) for i in range(n_streams)))
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--streams", type=int, default=32)
@@ -103,12 +156,21 @@ def main():
     p.add_argument("--json_cond", action="store_true",
                    help="send conditioners as JSON float lists instead "
                         "of the base64-f32 fast path")
+    p.add_argument("--frontend", choices=("aio", "threaded"),
+                   default="aio",
+                   help="server front-end: selector-based asyncio "
+                        "(default; the many-stream production path) or "
+                        "the stdlib thread-per-connection server")
+    p.add_argument("--client", choices=("aio", "threads"), default="aio",
+                   help="load generator: one async event loop (default) "
+                        "or one OS thread per client (the pre-round-5 "
+                        "mode; on a 2-vCPU host the client threads "
+                        "themselves depress measured RTF)")
     p.add_argument("--direct", action="store_true",
                    help="drive StreamMultiplexer directly (no HTTP): "
                         "measures the serving ENGINE; the delta vs the "
-                        "default HTTP mode is the stdlib-HTTP/socket "
-                        "front-end cost (docs/DESIGN.md 'Serving host "
-                        "ceiling')")
+                        "default HTTP mode is the front-end + client "
+                        "cost (docs/DESIGN.md 'Serving host ceiling')")
     args = p.parse_args()
 
     import jax
@@ -130,8 +192,13 @@ def main():
     service = VocoderService(params, m,
                              frames_per_push=args.frames_per_push,
                              mux_lanes=args.lanes, name="bench-mux")
-    srv = make_server(service, port=0)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    if args.frontend == "aio":
+        from msnv_tpu.serving import make_async_server
+        srv = make_async_server(service, port=0)
+        srv.start()
+    else:
+        srv = make_server(service, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
     addr = srv.server_address
 
     frames = max(int(args.seconds * 16000) // m.lookback,
@@ -174,20 +241,32 @@ def main():
         out[i] = (t_first, time.perf_counter() - t0, total)
         c.close()
 
-    # warm: compile the masked push + fill caches
-    warm = {}
-    one_request(-1, warm)
-    assert warm[-1][2] == frames * m.lookback * 2, warm
+    expect = frames * m.lookback * 2
+    first_bytes = 2 * m.lookback * args.frames_per_push
+    if args.client == "aio":
+        # warm: compile the masked push + fill caches
+        warm = asyncio.run(_aio_clients(addr, body.encode(), 1,
+                                        expect, first_bytes))
+        assert warm[0][2] == expect, warm
+        t0 = time.perf_counter()
+        out = asyncio.run(_aio_clients(addr, body.encode(), args.streams,
+                                       expect, first_bytes))
+        wall = time.perf_counter() - t0
+    else:
+        # warm: compile the masked push + fill caches
+        warm = {}
+        one_request(-1, warm)
+        assert warm[-1][2] == expect, warm
 
-    out = {}
-    t0 = time.perf_counter()
-    threads = [threading.Thread(target=one_request, args=(i, out))
-               for i in range(args.streams)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join(timeout=600)
-    wall = time.perf_counter() - t0
+        out = {}
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=one_request, args=(i, out))
+                   for i in range(args.streams)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        wall = time.perf_counter() - t0
 
     audio_s = frames * m.lookback / 16000.0
     errors = {i: repr(v) for i, v in out.items()
@@ -201,6 +280,8 @@ def main():
         "bench": "mux_stream_serving",
         "platform": jax.devices()[0].platform,
         "device": jax.devices()[0].device_kind,
+        "frontend": args.frontend,
+        "client": args.client,
         "streams": args.streams,
         "lanes": args.lanes,
         "frames_per_push": args.frames_per_push,
