@@ -371,13 +371,18 @@ def main():
         vs_baseline = gen_tput / base["generation"]["audio_s_per_s"]
         vs_train = train_tput / base["training"]["samples_per_s"]
 
-    # perf regression gate (VERDICT r02 #2): floors set ~4-10% under the
-    # best recorded on-chip results (551 audio-s/s r01/r03, 3.48M
-    # samples/s r02, 677k GAN r03). The flag is recorded in the printed
-    # JSON for the round driver (which always needs the JSON line, so the
-    # default exit stays 0); CI that gates on exit status should run
-    # `bench.py --strict` / BENCH_STRICT=1, which exits 3 on regression.
-    # Floors apply on real TPU hardware only — CPU runs are not comparable.
+    # perf regression gate (VERDICT r02 #2; re-based round 5 under the
+    # >=15%-headroom rule after the r04 driver run showed single-run
+    # host variance can move results ~3%): floors sit 15% under the
+    # median-of-3 on-chip measurements recorded in docs/DESIGN.md
+    # (generation 551.0 audio-s/s -> floor 469; train 3.49M samples/s
+    # -> floor 2.97M; GAN 680k -> floor 578k). A breach now means a real
+    # regression, not a loaded driver host. The flag is recorded in the
+    # printed JSON for the round driver (which always needs the JSON
+    # line, so the default exit stays 0); CI that gates on exit status
+    # should run `bench.py --strict` / BENCH_STRICT=1, which exits 3 on
+    # regression. Floors apply on real TPU hardware only — CPU runs are
+    # not comparable.
     # mux floors (round 5, docs/DESIGN.md 'Serving front-end, round 5'):
     # the ENGINE must hold >= 96 of 128 realtime streams (measured 128
     # at RTF 2.25) and the end-to-end HTTP path through the async
@@ -404,8 +409,8 @@ def main():
         or onchip.get("failed", 0) + onchip.get("error", 0) > 0
         or onchip.get("passed", 0) < 9))
     regression = bool(on_tpu and (
-        gen_tput < 530.0 or train_tput < 3.3e6
-        or (gan_tput is not None and gan_tput < 6e5)
+        gen_tput < 469.0 or train_tput < 2.97e6
+        or (gan_tput is not None and gan_tput < 5.78e5)
         or mux_bad or onchip_bad))
 
     result = {
