@@ -53,6 +53,7 @@ def test_requires_8_devices():
         "conftest must provide 8 virtual CPU devices")
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     ref_params, ref_losses = run_steps(None)
 
@@ -81,6 +82,7 @@ def test_param_sharding_specs():
     assert s0.spec == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_graft_entry_compiles():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -261,6 +263,7 @@ def test_gan_block_scan_matches_indexed_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gan_trainer_mesh_device_corpus(tmp_path):
     """Trainer(variant=gan, mesh): device-corpus GAN block scan over the
     mesh matches single-device GAN training (the round-1 gap: the trainer
@@ -353,6 +356,7 @@ def test_multihost_simulation():
     assert "multihost simulation PASSED" in out.stdout, out.stdout
 
 
+@pytest.mark.slow
 def test_device_corpus_block_scan_sharded_matches_single():
     """Device-resident corpus + block-scan training over a mesh must match
     single-device device-corpus training (lanes sharded over 'data')."""
