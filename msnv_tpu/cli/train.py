@@ -110,6 +110,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--disc_channels", type=int, default=512,
                    help="GAN discriminator width (512 = thesis spec; "
                         "shrink for CPU smokes)")
+    p.add_argument("--ss_prob", type=float, default=0.0,
+                   help="scheduled sampling: replace input samples with "
+                        "the model's own teacher-forced predictions with "
+                        "this probability (exposure-bias mitigation; "
+                        "adds one forward per step)")
+    p.add_argument("--input_noise", type=float, default=0.0,
+                   help="input-level noise: jitter each input sample by "
+                        "up to +-input_noise_levels quantization levels "
+                        "with this probability (targets stay clean)")
+    p.add_argument("--input_noise_levels", type=int, default=8)
     return p
 
 
@@ -131,7 +141,9 @@ def config_from_args(args, spk_dim: int) -> ExperimentConfig:
             keep_old_checkpoints=args.keep_old_checkpoints,
             resume=args.resume,
             lambda_weight=tuple(args.lambda_weight),
-            disc_channels=args.disc_channels),
+            disc_channels=args.disc_channels,
+            ss_prob=args.ss_prob, input_noise_prob=args.input_noise,
+            input_noise_levels=args.input_noise_levels),
         data=DataConfig(
             datasets_path=args.datasets_path,
             cond_path=args.cond_path or args.datasets_path,

@@ -103,6 +103,21 @@ class TrainConfig:
     # Smaller values are for CPU tests/smokes — the 512-channel disc costs
     # ~170 MFLOP per audio sample, minutes per step on a 2-vCPU box.
     disc_channels: int = 512
+    # Exposure-bias mitigation (round 5; no reference analogue — the
+    # thesis only DESCRIBES the failure mode, the saturation bursts of
+    # doc/Barbany_report.pdf §4.3). Training-loop-only changes; eval and
+    # generation are untouched.
+    #   ss_prob: parallel scheduled sampling — a teacher-forced forward
+    #     samples the model's own predictions, and each input position
+    #     (past the lookback seed) is replaced by the model's sample with
+    #     this probability before the loss forward (two forwards, one
+    #     backward; fully batched, no sequential loop).
+    #   input_noise_prob/levels: each input sample is jittered by up to
+    #     +-levels quantization levels with this probability (targets
+    #     stay clean) — denoising-style context robustness.
+    ss_prob: float = 0.0
+    input_noise_prob: float = 0.0
+    input_noise_levels: int = 8
 
 
 @dataclass(frozen=True)
@@ -155,6 +170,8 @@ _TAG_FIELDS = [
     ("learning_rate", "train", "learning_rate"),
     ("variant", "model", "variant"),
     ("ind_cond_dim", "model", "ind_cond_dim"),
+    ("ss_prob", "train", "ss_prob"),
+    ("input_noise", "train", "input_noise_prob"),
     # Extra architecture-defining fields the reference derives from the
     # dataset at runtime (spk_dim: train.py:201-202) — serialized here so a
     # tag alone fully reconstructs the model.

@@ -30,9 +30,31 @@ from msnv_tpu.parallel.mesh import (
 )
 
 
-def _make_step_core(cfg: ModelConfig, optimizer, compute_dtype):
+def exposure_tuple(train_cfg) -> Optional[tuple]:
+    """(ss_prob, input_noise_prob, input_noise_levels) when exposure-bias
+    mitigation is enabled in a TrainConfig, else None."""
+    if train_cfg is None:
+        return None
+    if train_cfg.ss_prob <= 0.0 and train_cfg.input_noise_prob <= 0.0:
+        return None
+    return (float(train_cfg.ss_prob), float(train_cfg.input_noise_prob),
+            int(train_cfg.input_noise_levels))
+
+
+def _make_step_core(cfg: ModelConfig, optimizer, compute_dtype,
+                    exposure: Optional[tuple] = None):
     """The un-jitted train step body, shared by the tensor-argument and
-    the indexed (device-resident corpus) entry points."""
+    the indexed (device-resident corpus) entry points.
+
+    With `exposure` = (ss_prob, noise_prob, noise_levels) the returned
+    step takes ONE extra trailing `key` argument and perturbs the TBPTT
+    inputs before the loss forward (config.TrainConfig.ss_prob docs):
+    scheduled sampling replaces input samples past the lookback seed
+    with the model's own teacher-forced predictions with prob ss_prob
+    (the parallel two-pass form — one extra forward, no sequential
+    loop), and input noise jitters input levels with prob noise_prob.
+    Targets are always the clean ground truth; eval is untouched.
+    """
 
     def loss_fn(params, state, data, reset, cond, spk, target):
         if compute_dtype is not None:
@@ -58,7 +80,48 @@ def _make_step_core(cfg: ModelConfig, optimizer, compute_dtype):
         params = optax.apply_updates(params, updates)
         return params, opt_state, state_stop_gradient(new_state), loss
 
-    return step
+    if exposure is None:
+        return step
+
+    ss_prob, noise_prob, noise_levels = exposure
+    lb = cfg.lookback
+
+    def perturb(params, state, data, reset, cond, spk, key):
+        if noise_prob > 0.0:
+            key, kf, kj = jax.random.split(key, 3)
+            flip = jax.random.bernoulli(kf, noise_prob, data.shape)
+            jitter = jax.random.randint(kj, data.shape, -noise_levels,
+                                        noise_levels + 1)
+            data = jnp.where(
+                flip, jnp.clip(data + jitter, 0, cfg.q_levels - 1), data)
+        if ss_prob > 0.0:
+            key, ks, km = jax.random.split(key, 3)
+            if compute_dtype is not None:
+                from msnv_tpu.models.generate import cast_float_tree
+                p = cast_float_tree(params, compute_dtype)
+                st = [s.astype(compute_dtype) for s in state]
+            else:
+                p, st = params, state
+            logits, _, _ = predictor_apply(
+                p, cfg, data, reset, cond, spk, st, output="logits")
+            # logits[:, t] predicts target t, which sits at input
+            # position lb + t; the LAST target is outside the input
+            # window, so only samples[:, :-1] are candidates
+            samples = jax.random.categorical(
+                ks, logits.astype(jnp.float32), axis=-1).astype(data.dtype)
+            mix = jax.random.bernoulli(km, ss_prob,
+                                       samples[:, :-1].shape)
+            tail = jnp.where(mix, samples[:, :-1], data[:, lb:])
+            data = jnp.concatenate([data[:, :lb], tail], axis=1)
+        return jax.lax.stop_gradient(data)
+
+    def step_exposure(params, opt_state, state, data, reset, target,
+                      cond, spk, key):
+        data = perturb(params, state, data, reset, cond, spk, key)
+        return step(params, opt_state, state, data, reset, target, cond,
+                    spk)
+
+    return step_exposure
 
 
 def chunk_slices(corpus, k, seq_len: int, overlap_len: int,
@@ -82,24 +145,36 @@ def chunk_slices(corpus, k, seq_len: int, overlap_len: int,
 
 def make_train_step_indexed(cfg: ModelConfig, optimizer, seq_len: int,
                             overlap_len: int, cond_in_seq: int,
-                            donate=True, compute_dtype=None):
+                            donate=True, compute_dtype=None,
+                            exposure: Optional[tuple] = None):
     """Indexed train step for device-resident corpora:
 
-    step(params, opt_state, state, corpus, k)
+    step(params, opt_state, state, corpus, k[, key])
       -> (params, opt_state, state, loss_bits)
 
     Numerically identical to make_train_step on the host-sliced tensors
     (the slicing is exact); wall-clock it removes the per-step
     host->device chunk upload — the dominant cost of the tensor-argument
     loop on hosts with slow interconnect to the accelerator.
-    """
-    core = _make_step_core(cfg, optimizer, compute_dtype)
 
-    def step(params, opt_state, state, corpus, k):
-        data, reset, target, cond, spk = chunk_slices(
-            corpus, k, seq_len, overlap_len, cond_in_seq)
-        return core(params, opt_state, state, data, reset, target, cond,
-                    spk)
+    With `exposure` the step takes a trailing base `key`; the chunk
+    index is folded in, so one per-epoch key gives every chunk its own
+    randomness.
+    """
+    core = _make_step_core(cfg, optimizer, compute_dtype, exposure)
+
+    if exposure is None:
+        def step(params, opt_state, state, corpus, k):
+            data, reset, target, cond, spk = chunk_slices(
+                corpus, k, seq_len, overlap_len, cond_in_seq)
+            return core(params, opt_state, state, data, reset, target,
+                        cond, spk)
+    else:
+        def step(params, opt_state, state, corpus, k, key):
+            data, reset, target, cond, spk = chunk_slices(
+                corpus, k, seq_len, overlap_len, cond_in_seq)
+            return core(params, opt_state, state, data, reset, target,
+                        cond, spk, jax.random.fold_in(key, k))
 
     kwargs = {"donate_argnums": (0, 1, 2)} if donate else {}
     return jax.jit(step, **kwargs)
@@ -107,10 +182,11 @@ def make_train_step_indexed(cfg: ModelConfig, optimizer, seq_len: int,
 
 def make_train_block_scan(cfg: ModelConfig, optimizer, seq_len: int,
                           overlap_len: int, cond_in_seq: int,
-                          mesh=None, donate=True, compute_dtype=None):
+                          mesh=None, donate=True, compute_dtype=None,
+                          exposure: Optional[tuple] = None):
     """Multi-step train executable over a device-resident corpus:
 
-    run_block(params, opt_state, state, corpus, ks (B,))
+    run_block(params, opt_state, state, corpus, ks (B,)[, key])
       -> (params, opt_state, state, losses (B,))
 
     A `lax.scan` of the train step over a block of chunk indices — ONE
@@ -119,19 +195,24 @@ def make_train_block_scan(cfg: ModelConfig, optimizer, seq_len: int,
     sits behind a high-latency accelerator link. Numerically identical to
     B sequential indexed steps (same slices, same math, same order).
 
-    With a mesh, returns a builder(params_t, opt_t, state_t) like
-    make_train_step: corpus lanes sharded over 'data'
-    (parallel/mesh.corpus_sharding), indices replicated.
+    With `exposure`, takes a trailing base `key` (chunk index folded in
+    per scan step — matches the indexed form exactly). With a mesh,
+    returns a builder(params_t, opt_t, state_t) like make_train_step:
+    corpus lanes sharded over 'data' (parallel/mesh.corpus_sharding),
+    indices replicated.
     """
-    core = _make_step_core(cfg, optimizer, compute_dtype)
+    core = _make_step_core(cfg, optimizer, compute_dtype, exposure)
 
-    def run_block(params, opt_state, state, corpus, ks):
+    def run_block(params, opt_state, state, corpus, ks, *keys):
         def body(carry, k):
             params, opt_state, state = carry
             data, reset, target, cond, spk = chunk_slices(
                 corpus, k, seq_len, overlap_len, cond_in_seq)
+            extra = ((jax.random.fold_in(keys[0], k),) if exposure
+                     else ())
             params, opt_state, state, loss = core(
-                params, opt_state, state, data, reset, target, cond, spk)
+                params, opt_state, state, data, reset, target, cond, spk,
+                *extra)
             return (params, opt_state, state), loss
 
         (params, opt_state, state), losses = jax.lax.scan(
@@ -151,9 +232,10 @@ def make_train_block_scan(cfg: ModelConfig, optimizer, seq_len: int,
         p_sh = param_sharding(mesh, params_template)
         o_sh = jax.tree_util.tree_map(lambda _: rep, opt_template)
         s_sh = [st for _ in state_template]
+        extra_sh = (rep,) if exposure else ()
         return jax.jit(
             run_block,
-            in_shardings=(p_sh, o_sh, s_sh, c_sh, rep),
+            in_shardings=(p_sh, o_sh, s_sh, c_sh, rep) + extra_sh,
             out_shardings=(p_sh, o_sh, s_sh, rep),
             **kwargs,
         )
@@ -238,17 +320,19 @@ def make_eval_step_indexed(cfg: ModelConfig, seq_len: int,
 
 
 def make_train_step(cfg: ModelConfig, optimizer, mesh=None, donate=True,
-                    compute_dtype=None):
+                    compute_dtype=None, exposure: Optional[tuple] = None):
     """Build the jitted train step.
 
-    step(params, opt_state, state, data, reset, target, cond, spk)
+    step(params, opt_state, state, data, reset, target, cond, spk[, key])
       -> (params, opt_state, state, loss_bits)
 
     compute_dtype=jnp.bfloat16 enables mixed-precision training: f32 master
     params (Adam in f32), forward/backward matmuls in bf16 via a
-    differentiable cast, loss/log-softmax in f32.
+    differentiable cast, loss/log-softmax in f32. `exposure` (see
+    _make_step_core / config.TrainConfig.ss_prob) adds the trailing
+    per-step PRNG key argument.
     """
-    step = _make_step_core(cfg, optimizer, compute_dtype)
+    step = _make_step_core(cfg, optimizer, compute_dtype, exposure)
 
     kwargs = {}
     if donate:
@@ -267,9 +351,10 @@ def make_train_step(cfg: ModelConfig, optimizer, mesh=None, donate=True,
         p_sh = shard_like_params(params_template)
         o_sh = jax.tree_util.tree_map(lambda _: rep, opt_template)
         s_sh = [st for _ in state_template]
+        extra_sh = (rep,) if exposure else ()
         return jax.jit(
             step,
-            in_shardings=(p_sh, o_sh, s_sh, b, rep, b, b, b),
+            in_shardings=(p_sh, o_sh, s_sh, b, rep, b, b, b) + extra_sh,
             out_shardings=(p_sh, o_sh, s_sh, rep),
             **kwargs,
         )

@@ -47,7 +47,22 @@ class Trainer:
         self._eval_dev = {}           # loader -> (corpus_dev, eval_scan)
         self._eval_step_indexed = {}  # geometry -> per-step eval fn
 
+        # exposure-bias mitigation (config.TrainConfig.ss_prob /
+        # input_noise_prob): the train-step builders grow a trailing
+        # per-step PRNG key; eval and generation are untouched
+        from msnv_tpu.training.step import exposure_tuple
+        self._exposure = exposure_tuple(cfg.train)
+        if self._exposure is not None:
+            import jax as _jax
+            self._exp_key = _jax.random.PRNGKey(
+                (cfg.train.seed + 0x55) & 0x7FFFFFFF)
+
         self.is_gan = cfg.model.variant == "gan"
+        if self.is_gan and self._exposure is not None:
+            raise ValueError(
+                "ss_prob/input_noise_prob are not supported with the GAN "
+                "variant (the adversarial step has its own two-loss "
+                "forward); fine-tune the identity/bottleneck heads")
         if self.is_gan:
             # adversarial variant: discriminator + second optimizer + the
             # two-loss step (ref run_samplegan.sh; SURVEY.md §2.8) — same
@@ -71,7 +86,8 @@ class Trainer:
                           eval_builder(self.params, self.state))
         else:
             step_builder = make_train_step(cfg.model, optimizer, mesh=mesh,
-                                           compute_dtype=compute_dtype)
+                                           compute_dtype=compute_dtype,
+                                           exposure=self._exposure)
             eval_builder = make_eval_step(cfg.model, mesh=mesh)
             if mesh is None:
                 self._step = step_builder
@@ -120,7 +136,8 @@ class Trainer:
                 if mesh is None:
                     self._step_indexed = make_train_step_indexed(
                         cfg.model, optimizer, *geo,
-                        compute_dtype=compute_dtype)
+                        compute_dtype=compute_dtype,
+                        exposure=self._exposure)
                 else:
                     self._step_indexed = None  # block scan only
                 # multi-step executable: one dispatch + one loss fetch per
@@ -128,7 +145,7 @@ class Trainer:
                 # mid-epoch interval savers)
                 scan_builder = make_train_block_scan(
                     cfg.model, optimizer, *geo, mesh=mesh,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, exposure=self._exposure)
                 self._train_scan = (
                     scan_builder if mesh is None else
                     scan_builder(self.params, self.opt_state, self.state))
@@ -169,11 +186,17 @@ class Trainer:
                 jnp.asarray(chunk.spk))
             self._record_gan_metrics(metrics, scalar=True)
             return metrics["loss"]
+        extra = ()
+        if self._exposure is not None:
+            import jax
+            # one fresh key per optimizer step, deterministic in
+            # (seed, iteration) so resume replays the same stream
+            extra = (jax.random.fold_in(self._exp_key, self.iterations),)
         self.params, self.opt_state, self.state, loss = self._step(
             self.params, self.opt_state, self.state,
             jnp.asarray(chunk.data), jnp.asarray(chunk.reset),
             jnp.asarray(chunk.target), jnp.asarray(chunk.cond),
-            jnp.asarray(chunk.spk))
+            jnp.asarray(chunk.spk), *extra)
         return loss
 
     def _pipelining_allowed(self) -> bool:
@@ -206,8 +229,17 @@ class Trainer:
         (self.params, self.opt_state, self.state,
          losses) = self._train_scan(
             self.params, self.opt_state, self.state,
-            self._corpus_dev, jnp.asarray(ks))
+            self._corpus_dev, jnp.asarray(ks), *self._epoch_key())
         return np.asarray(losses)
+
+    def _epoch_key(self):
+        """Exposure base key for the device-corpus paths: per-epoch, the
+        chunk index is folded in by the step/scan body — deterministic in
+        (seed, epoch, chunk), replayed exactly on resume."""
+        if self._exposure is None:
+            return ()
+        import jax
+        return (jax.random.fold_in(self._exp_key, self.epochs),)
 
     def _run_step_indexed(self, k):
         """One indexed device-corpus step; returns the chunk loss."""
@@ -224,7 +256,7 @@ class Trainer:
         (self.params, self.opt_state, self.state,
          loss) = self._step_indexed(
             self.params, self.opt_state, self.state,
-            self._corpus_dev, np.int32(k))
+            self._corpus_dev, np.int32(k), *self._epoch_key())
         return loss
 
     def train_epoch(self, start_chunk: int = 0):

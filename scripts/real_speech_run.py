@@ -150,6 +150,11 @@ def main():
                         "same architecture — the transfer-learning path: "
                         "pretrain on a synthetic corpus, fine-tune here; "
                         "scripts/transfer_learning_run.py orchestrates)")
+    p.add_argument("--ss_prob", type=float, default=0.0,
+                   help="scheduled-sampling probability (exposure-bias "
+                        "study, round 5 — config.TrainConfig.ss_prob)")
+    p.add_argument("--input_noise", type=float, default=0.0,
+                   help="input-level noise probability")
     p.add_argument("--tiny", action="store_true",
                    help="CPU smoke scale (small dim, 2 epochs)")
     args = p.parse_args()
@@ -224,6 +229,10 @@ def main():
                     variant_flags += ["--disc_channels", "16"]
         warm_flags = (["--model", args.warm_start]
                       if args.warm_start else [])
+        if args.ss_prob > 0:
+            variant_flags += ["--ss_prob", str(args.ss_prob)]
+        if args.input_noise > 0:
+            variant_flags += ["--input_noise", str(args.input_noise)]
         train_main([
             "--exp", "real-speech",
             *model_flags, *variant_flags, *warm_flags,
@@ -276,6 +285,10 @@ def main():
         suffix += "_aug"
     if args.warm_start:
         suffix += "_tl"       # transfer learning (warm-started)
+    if args.ss_prob > 0:
+        suffix += f"_ss{args.ss_prob:g}"
+    if args.input_noise > 0:
+        suffix += f"_in{args.input_noise:g}"
     if args.variant != "identity":
         suffix += f"_{args.variant}"
         if args.variant == "gan" and args.lambda_weight[1] == 0.0:
