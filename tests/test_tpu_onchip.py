@@ -341,6 +341,56 @@ def test_serving_synthesize_smoke_on_chip(tpu):
         service.close()
 
 
+def test_serving_aio_stream_smoke_on_chip(tpu):
+    """The async front-end's mux-backed /stream path end-to-end on real
+    hardware (round 5: the production many-stream server — bench.py's
+    HTTP gate runs through it): concurrent chunked streams over a real
+    socket each return full PCM16 audio."""
+    import http.client
+    import json
+    import threading
+
+    import jax
+    from msnv_tpu.models.samplernn import init_params
+    from msnv_tpu.serving import VocoderService, make_async_server
+
+    cfg = _chip_cfg()
+    service = VocoderService(init_params(jax.random.PRNGKey(0), cfg), cfg,
+                             frames_per_push=2, mux_lanes=4,
+                             name="onchip-aio")
+    srv = make_async_server(service, port=0)
+    srv.start()
+    try:
+        frames = 5                     # odd: exercises the K-pad + trim
+        rng = np.random.RandomState(0)
+        out = {}
+
+        def one(i):
+            body = json.dumps({
+                "cond": rng.rand(frames,
+                                 cfg.effective_cond_dim).tolist(),
+                "spk": i % cfg.spk_dim})
+            c = http.client.HTTPConnection(*srv.server_address,
+                                           timeout=600)
+            c.request("POST", "/stream", body,
+                      {"Content-Type": "application/json"})
+            r = c.getresponse()
+            out[i] = (r.status, len(r.read()))
+            c.close()
+
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        expected = frames * cfg.lookback * 2
+        assert all(v == (200, expected) for v in out.values()), out
+    finally:
+        srv.shutdown()
+        service.close()
+
+
 def test_bf16_train_step_loss_sane_on_chip(tpu):
     """The bf16 mixed-precision train step (the production training
     config) on real hardware: the first loss sits at the uniform-softmax
