@@ -207,8 +207,9 @@ class AsyncVocoderServer:
                 pass
 
     async def _read_request(self, reader):
-        """-> (method, path, headers, body bytes) | None on clean EOF.
-        Raises _Refused(413) for oversized bodies (without reading)."""
+        """-> (method, path, headers, body bytes) | None on clean EOF or
+        idle/slow-client timeout. Oversized bodies come back as a _TooBig
+        marker WITHOUT being read (the dispatcher answers 413 + close)."""
         try:
             line = await asyncio.wait_for(reader.readline(), self.timeout_s)
         except asyncio.TimeoutError:
@@ -219,17 +220,23 @@ class AsyncVocoderServer:
             method, path, _version = line.decode("latin1").split()
         except ValueError:
             return None
-        headers = {}
-        while True:
-            h = await reader.readline()
-            if not h or h == _CRLF:
-                break
-            k, _, v = h.decode("latin1").partition(":")
-            headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", 0))
-        if length > self.max_body:
-            return (method, path, headers, _TooBig(length))
-        body = await reader.readexactly(length) if length else b""
+        # headers + body under one deadline: a client that trickles its
+        # request (slowloris) must not pin the handler past timeout_s
+        try:
+            async with asyncio.timeout(self.timeout_s):
+                headers = {}
+                while True:
+                    h = await reader.readline()
+                    if not h or h == _CRLF:
+                        break
+                    k, _, v = h.decode("latin1").partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                length = int(headers.get("content-length", 0))
+                if length > self.max_body:
+                    return (method, path, headers, _TooBig(length))
+                body = await reader.readexactly(length) if length else b""
+        except asyncio.TimeoutError:
+            return None
         return (method, path, headers, body)
 
     def _respond(self, writer, code: int, payload: bytes,
