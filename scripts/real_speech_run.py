@@ -171,6 +171,20 @@ def main():
         # guard as __graft_entry__.dryrun_multichip)
         from msnv_tpu.utils.profiling import enable_compile_cache
         enable_compile_cache()
+        # ONE chip job at a time: two processes sharing the tunneled
+        # device can wedge the first one's in-flight call permanently
+        # (observed round 5: a concurrent fine-tune froze a training run
+        # mid-step until both were killed). Block here until any other
+        # study run finishes; the lock is released by process exit.
+        import fcntl
+        _lockf = open("/tmp/msnv_chip.lock", "w")
+        try:
+            fcntl.flock(_lockf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
+            print("waiting for the chip lock (/tmp/msnv_chip.lock): "
+                  "another study run owns the device...", flush=True)
+            fcntl.flock(_lockf, fcntl.LOCK_EX)
+        print("chip lock acquired", flush=True)
 
     from msnv_tpu.cli.generate import main as gen_main
     from msnv_tpu.cli.train import main as train_main
