@@ -53,14 +53,20 @@ _REASON = {200: "OK", 400: "Bad Request", 404: "Not Found",
 
 
 class _Stream:
-    """Loop-thread state of one in-flight mux-backed /stream response."""
+    """Loop-thread state of one in-flight mux-backed /stream response.
 
-    __slots__ = ("writer", "remaining", "done")
+    Deliveries are routed by OBJECT, not lane number: the pump's sink
+    closure captures this instance, so audio that was in flight when the
+    stream's lane was released can never reach the lane's next occupant
+    (the mux's _gen invariant, preserved across the sink path)."""
+
+    __slots__ = ("writer", "remaining", "done", "closed")
 
     def __init__(self, writer, remaining_bytes: int, done):
         self.writer = writer
         self.remaining = remaining_bytes   # payload bytes still to send
         self.done = done                   # future: all audio written
+        self.closed = False                # handler released the lane
 
 
 class AsyncVocoderServer:
@@ -96,7 +102,6 @@ class AsyncVocoderServer:
         self._loop = None
         self._thread = None
         self._stop = None           # loop-side future: set to shut down
-        self._streams = {}          # lane -> _Stream (loop thread only)
         # pump-thread -> loop-thread delivery batch: sinks append here
         # and schedule at most one loop wakeup while the batch is dirty
         self._dlock = threading.Lock()
@@ -146,11 +151,12 @@ class AsyncVocoderServer:
 
     # -- pump-side delivery ----------------------------------------------
 
-    def _sink(self, lane: int, data: bytes) -> None:
-        """Per-lane mux sink; runs on the PUMP thread. Batches the tick's
-        deliveries and schedules one loop wakeup."""
+    def _sink(self, st: _Stream, data: bytes) -> None:
+        """Mux sink for one stream; runs on the PUMP thread. Batches the
+        tick's deliveries and schedules one loop wakeup. The closure the
+        mux holds captures `st`, so routing survives lane recycling."""
         with self._dlock:
-            self._deliveries.append((lane, data))
+            self._deliveries.append((st, data))
             wake = not self._wake_scheduled
             self._wake_scheduled = True
         if wake:
@@ -160,16 +166,15 @@ class AsyncVocoderServer:
                 pass   # loop shut down mid-stream; release() follows
 
     def _flush_deliveries(self) -> None:
-        """Loop thread: write every pending (lane, audio) straight to its
-        socket. transport.write is non-blocking (asyncio buffers), so
+        """Loop thread: write every pending (stream, audio) straight to
+        its socket. transport.write is non-blocking (asyncio buffers), so
         this never stalls the loop; a stalled CLIENT is detected via the
         transport write-buffer size and aborted."""
         with self._dlock:
             deliveries, self._deliveries = self._deliveries, []
             self._wake_scheduled = False
-        for lane, data in deliveries:
-            st = self._streams.get(lane)
-            if st is None:
+        for st, data in deliveries:
+            if st.closed:
                 continue   # stream finished/aborted between tick & flush
             take = min(len(data), st.remaining)
             st.remaining -= take
@@ -221,23 +226,31 @@ class AsyncVocoderServer:
         except ValueError:
             return None
         # headers + body under one deadline: a client that trickles its
-        # request (slowloris) must not pin the handler past timeout_s
-        try:
-            async with asyncio.timeout(self.timeout_s):
-                headers = {}
-                while True:
-                    h = await reader.readline()
-                    if not h or h == _CRLF:
-                        break
-                    k, _, v = h.decode("latin1").partition(":")
-                    headers[k.strip().lower()] = v.strip()
+        # request (slowloris) must not pin the handler past timeout_s.
+        # (wait_for on a helper coroutine, not asyncio.timeout — the
+        # package supports Python 3.10, where asyncio.timeout is absent)
+        async def rest():
+            headers = {}
+            while True:
+                h = await reader.readline()
+                if not h or h == _CRLF:
+                    break
+                k, _, v = h.decode("latin1").partition(":")
+                headers[k.strip().lower()] = v.strip()
+            try:
                 length = int(headers.get("content-length", 0))
-                if length > self.max_body:
-                    return (method, path, headers, _TooBig(length))
-                body = await reader.readexactly(length) if length else b""
+            except ValueError:
+                return (method, path, headers,
+                        _Bad("malformed Content-Length"))
+            if length > self.max_body:
+                return (method, path, headers, _TooBig(length))
+            body = await reader.readexactly(length) if length else b""
+            return (method, path, headers, body)
+
+        try:
+            return await asyncio.wait_for(rest(), self.timeout_s)
         except asyncio.TimeoutError:
             return None
-        return (method, path, headers, body)
 
     def _respond(self, writer, code: int, payload: bytes,
                  ctype: str = "application/json", close: bool = False):
@@ -259,6 +272,9 @@ class AsyncVocoderServer:
             return self._json(writer, 413,
                               {"error": f"request body {body.length} bytes "
                                         f"exceeds cap {self.max_body}"},
+                              close=True)
+        if isinstance(body, _Bad):
+            return self._json(writer, 400, {"error": body.reason},
                               close=True)
         if method == "GET":
             if path == "/healthz":
@@ -294,12 +310,20 @@ class AsyncVocoderServer:
                       ).encode("latin1"))
 
     async def _stream(self, writer, payload: dict) -> bool:
-        cond, spk, _t, _s, eligible = self.service.parse_stream(payload)
+        parsed = self.service.parse_stream(payload)
+        cond, spk, _t, _s, eligible = parsed
         if not eligible:
-            return await self._stream_fallback(writer, payload)
+            return await self._stream_fallback(writer, payload, parsed)
         mux = self.service._mux
         cond_np = np.asarray(cond, np.float32)
         n = len(cond_np)
+        if n == 0:
+            # zero-frame request: an immediate empty 200, no lane taken
+            # (matches the threaded front-end's behavior)
+            self._stream_headers(writer)
+            writer.write(b"0\r\n\r\n")
+            await writer.drain()
+            return True
         pad = (-n) % mux.K
         if pad:
             cond_np = np.concatenate(
@@ -307,39 +331,48 @@ class AsyncVocoderServer:
         lane = mux.acquire(spk)          # raises Overloaded -> 429
         st = _Stream(writer, n * self.service.cfg.lookback * 2,
                      self._loop.create_future())
-        self._streams[lane] = st
         try:
-            mux.set_sink(lane, lambda data, lane=lane:
-                         self._sink(lane, data))
+            mux.set_sink(lane, lambda data, st=st: self._sink(st, data))
             self._stream_headers(writer)
             mux.feed(lane, [cond_np[i:i + mux.K]
                             for i in range(0, len(cond_np), mux.K)])
             # wait for the pump to finish the lane; poll is_closing so a
             # mid-stream disconnect releases the lane promptly (asyncio
-            # surfaces disconnects to writes, not waits)
-            waited = 0.0
+            # surfaces disconnects to writes, not waits). The timeout is
+            # IDLE-based: any delivered audio resets it, so long streams
+            # making continuous progress are never cut (the threaded
+            # path's q.get(timeout) semantics), only stalled ones.
+            idle, last_remaining = 0.0, st.remaining
             while not st.done.done():
                 await asyncio.wait([st.done], timeout=2.0)
-                waited += 2.0
                 if writer.transport.is_closing():
                     return False
-                if waited > self.timeout_s and not st.done.done():
-                    writer.transport.abort()
-                    return False
+                if st.remaining != last_remaining:
+                    last_remaining = st.remaining
+                    idle = 0.0
+                else:
+                    idle += 2.0
+                    if idle > self.timeout_s and not st.done.done():
+                        writer.transport.abort()
+                        return False
             writer.write(b"0\r\n\r\n")
             await writer.drain()
             return True
         finally:
-            self._streams.pop(lane, None)
+            st.closed = True
             mux.release(lane)
 
-    async def _stream_fallback(self, writer, payload: dict) -> bool:
+    async def _stream_fallback(self, writer, payload: dict,
+                               parsed=None) -> bool:
         """Per-connection reproducible path (explicit seed / non-default
         temperature): drive the blocking service.stream generator on the
         pool, chunk-framing each piece. Byte-identical to the threaded
-        front-end (same generator, same framing)."""
+        front-end (same generator, same framing). `parsed` forwards the
+        already-parsed request so the (potentially multi-MB) cond payload
+        is not decoded twice."""
         chunks = await self._loop.run_in_executor(
-            self._pool, self.service.stream, payload)
+            self._pool, lambda: self.service.stream(payload,
+                                                    _parsed=parsed))
         try:
             first = await self._loop.run_in_executor(
                 self._pool, next, chunks, None)
@@ -362,6 +395,13 @@ class _TooBig:
 
     def __init__(self, length: int):
         self.length = length
+
+
+class _Bad:
+    """Marker for a malformed request (answered 400 + close)."""
+
+    def __init__(self, reason: str):
+        self.reason = reason
 
 
 def make_async_server(service: VocoderService, host: str = "127.0.0.1",

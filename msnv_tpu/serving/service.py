@@ -414,7 +414,7 @@ class VocoderService:
                     and "seed" not in body)
         return cond, spk, temperature, seed, eligible
 
-    def stream(self, body: dict):
+    def stream(self, body: dict, _parsed=None):
         """Yield PCM16 chunks as frame groups are generated. Trailing
         frames beyond a multiple of `frames_per_push` finish with 1-frame
         pushes (the carry pytree is compatible across push widths, and a
@@ -422,9 +422,12 @@ class VocoderService:
 
         Raises Overloaded (HTTP 429) beyond `max_streams` concurrent
         streams; the slot is released when the generator finishes or is
-        closed (client disconnect included)."""
+        closed (client disconnect included). `_parsed` lets a front-end
+        that already ran parse_stream forward the result instead of
+        decoding the cond payload a second time."""
         # 400s must not consume a slot: parse before acquiring anything
-        cond, spk, temperature, seed, eligible = self.parse_stream(body)
+        cond, spk, temperature, seed, eligible = (
+            _parsed if _parsed is not None else self.parse_stream(body))
         if eligible:
             # seed-less default-temperature streams ride the multiplexer;
             # an explicit seed requests reproducible audio, which the

@@ -76,3 +76,35 @@ def enable_compile_cache(repo_root: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+
+
+_CHIP_LOCK_HANDLE = None
+
+
+def acquire_chip_lock(path: str = "/tmp/msnv_chip.lock") -> None:
+    """Serialize chip-using study/benchmark processes on this host.
+
+    The tunneled device does not timeshare between processes: a second
+    process attaching mid-run can wedge the first one's in-flight call
+    permanently (observed round 5 — a concurrent fine-tune froze a
+    training run mid-step until both were killed). Every long-running
+    chip entry point (real_speech_run, voice_conversion_run,
+    transfer_learning_run) calls this before touching the device; the
+    exclusive flock blocks until the current owner exits and is released
+    automatically by process exit. No-op on non-Linux (no fcntl)."""
+    global _CHIP_LOCK_HANDLE
+    if _CHIP_LOCK_HANDLE is not None:
+        return
+    try:
+        import fcntl
+    except ImportError:
+        return
+    handle = open(path, "w")
+    try:
+        fcntl.flock(handle, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except BlockingIOError:
+        print(f"waiting for the chip lock ({path}): another chip job "
+              f"owns the device...", flush=True)
+        fcntl.flock(handle, fcntl.LOCK_EX)
+    _CHIP_LOCK_HANDLE = handle
+    print("chip lock acquired", flush=True)

@@ -95,16 +95,25 @@ def direct_mux_bench(args, m, params):
 
 
 async def _aio_clients(addr, body: bytes, n_streams: int,
-                       expect_bytes: int, first_bytes: int):
+                       first_bytes: int):
     """Single-threaded async load generator: N concurrent /stream
     clients in one event loop (the wrk-style measurement — client-side
     thread scheduling must not be what the server bench measures).
-    Returns {i: (t_first_s, t_total_s, bytes)}."""
+    Returns {i: (t_first_s, t_total_s, bytes) | Exception} — a failed
+    client is RECORDED, not propagated, so one reset cannot cancel the
+    other N-1 clients and kill the whole bench (the assert below then
+    reports which streams failed, same as the threaded client path)."""
     req = (f"POST /stream HTTP/1.1\r\nHost: bench\r\n"
            f"Content-Type: application/json\r\n"
            f"Content-Length: {len(body)}\r\n\r\n").encode() + body
 
     async def one(i, out):
+        try:
+            await _one(i, out)
+        except Exception as e:   # noqa: BLE001 — reported by the caller
+            out[i] = e
+
+    async def _one(i, out):
         reader, writer = await asyncio.open_connection(*addr)
         try:
             t0 = time.perf_counter()
@@ -246,11 +255,11 @@ def main():
     if args.client == "aio":
         # warm: compile the masked push + fill caches
         warm = asyncio.run(_aio_clients(addr, body.encode(), 1,
-                                        expect, first_bytes))
-        assert warm[0][2] == expect, warm
+                                        first_bytes))
+        assert isinstance(warm[0], tuple) and warm[0][2] == expect, warm
         t0 = time.perf_counter()
         out = asyncio.run(_aio_clients(addr, body.encode(), args.streams,
-                                       expect, first_bytes))
+                                       first_bytes))
         wall = time.perf_counter() - t0
     else:
         # warm: compile the masked push + fill caches

@@ -169,22 +169,12 @@ def main():
         # TPU only: CPU AOT cache entries are machine-feature-specific
         # (loading one compiled on a different host risks SIGILL — same
         # guard as __graft_entry__.dryrun_multichip)
-        from msnv_tpu.utils.profiling import enable_compile_cache
+        from msnv_tpu.utils.profiling import (acquire_chip_lock,
+                                              enable_compile_cache)
         enable_compile_cache()
-        # ONE chip job at a time: two processes sharing the tunneled
-        # device can wedge the first one's in-flight call permanently
-        # (observed round 5: a concurrent fine-tune froze a training run
-        # mid-step until both were killed). Block here until any other
-        # study run finishes; the lock is released by process exit.
-        import fcntl
-        _lockf = open("/tmp/msnv_chip.lock", "w")
-        try:
-            fcntl.flock(_lockf, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except BlockingIOError:
-            print("waiting for the chip lock (/tmp/msnv_chip.lock): "
-                  "another study run owns the device...", flush=True)
-            fcntl.flock(_lockf, fcntl.LOCK_EX)
-        print("chip lock acquired", flush=True)
+        # ONE chip job at a time (see acquire_chip_lock's docstring for
+        # the round-5 wedge incident this prevents)
+        acquire_chip_lock()
 
     from msnv_tpu.cli.generate import main as gen_main
     from msnv_tpu.cli.train import main as train_main

@@ -57,8 +57,10 @@ def main():
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
     else:
-        from msnv_tpu.utils.profiling import enable_compile_cache
+        from msnv_tpu.utils.profiling import (acquire_chip_lock,
+                                              enable_compile_cache)
         enable_compile_cache()
+        acquire_chip_lock()   # chip jobs are sequential (round 5)
 
     from msnv_tpu.cli.train import main as train_main
     from msnv_tpu.data.synthetic import make_speechlike_corpus

@@ -116,8 +116,10 @@ def main():
                  "--tiny", "--out", cell], check=True)
         args.cell = cell
     else:
-        from msnv_tpu.utils.profiling import enable_compile_cache
+        from msnv_tpu.utils.profiling import (acquire_chip_lock,
+                                              enable_compile_cache)
         enable_compile_cache()
+        acquire_chip_lock()   # chip jobs are sequential (round 5)
 
     from msnv_tpu.cli.generate import main as gen_main
     from msnv_tpu.data.wavio import read_wav

@@ -107,6 +107,25 @@ def test_bad_requests(aio_stack):
     r = c.getresponse()
     assert r.status == 413
     c.close()
+    # malformed Content-Length -> 400, not a silent connection drop
+    import socket
+    s = socket.create_connection(srv.server_address, timeout=30)
+    s.sendall(b"POST /stream HTTP/1.1\r\nHost: t\r\n"
+              b"Content-Length: abc\r\n\r\n")
+    resp = s.recv(4096)
+    assert b"400" in resp.split(b"\r\n", 1)[0], resp
+    s.close()
+
+
+def test_zero_frame_stream_is_empty_200(aio_stack):
+    """A zero-frame request must not take (and never release) a mux
+    lane — it answers an immediate empty 200 like the threaded path."""
+    service, srv = aio_stack
+    free_before = len(service._mux._free)
+    status, body = _post(srv.server_address, "/stream",
+                         {"cond": "", "spk": 0})   # empty base64 = 0 frames
+    assert status == 200 and body == b""
+    assert len(service._mux._free) == free_before
 
 
 def test_mux_overload_returns_429():
