@@ -41,4 +41,7 @@ if ! compgen -G "$outroot/$cell/real_speech_report*.json" > /dev/null; then
   [ "$rc" -gt 1 ] && echo "CELL FAILED rc=$rc"
   tail -2 "$outroot/$cell.log"
 fi
+# stage the report next to the other study reports so it survives the
+# round even if the (gitignored) sweep dir does not
+cp "$outroot/$cell"/real_speech_report*.json docs/ 2>/dev/null
 echo "round5 stage2 done $(date -u +%H:%M:%S)"
