@@ -155,6 +155,15 @@ def main():
                         "study, round 5 — config.TrainConfig.ss_prob)")
     p.add_argument("--input_noise", type=float, default=0.0,
                    help="input-level noise probability")
+    p.add_argument("--ckpt_every", type=int, default=10,
+                   help="checkpoint thinning (epochs); the per-epoch "
+                        "device->host checkpoint fetch dominates epoch "
+                        "wall-clock on this 127 s corpus")
+    p.add_argument("--metrics_every", type=int, default=25,
+                   help="in-training objective-metrics cadence (epochs); "
+                        "each eval costs ~1-2 min of chip wall (free-"
+                        "running generation), ~2k s over a 450-epoch "
+                        "cell — thin it when scheduling is tight")
     p.add_argument("--tiny", action="store_true",
                    help="CPU smoke scale (small dim, 2 epochs)")
     args = p.parse_args()
@@ -249,10 +258,9 @@ def main():
             "--dataset", "wav/", "--cond_set", "wav/",
             "--results_path", results,
             "--epoch_limit", str(epochs),
-            # the per-epoch device->host checkpoint fetch dominates epoch
-            # wall-clock on this 127 s corpus — thin it
-            "--ckpt_every", "1" if args.tiny else "10",
-            "--metrics_every", "1" if args.tiny else "25",
+            "--ckpt_every", "1" if args.tiny else str(args.ckpt_every),
+            "--metrics_every", ("1" if args.tiny
+                                else str(args.metrics_every)),
         ])
     finally:
         os.chdir(cwd)
