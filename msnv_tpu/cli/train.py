@@ -107,6 +107,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda_weight", nargs=3, type=float,
                    default=[0.0, 0.01, 50000.0],
                    help="GAN lambda ramp: start target ramp_steps")
+    p.add_argument("--lambda_adaptive", nargs=3, type=float, default=None,
+                   metavar=("TARGET_NLL", "GAIN", "MAX_MULT"),
+                   help="adaptive GAN lambda controller: scale the ramped "
+                        "lambda by exp(GAIN*(TARGET_NLL - disc NLL)), "
+                        "clipped to [1/MAX_MULT, MAX_MULT]; keeps the "
+                        "reversal pressure alive once the discriminator "
+                        "saturates (default: off, fixed ramp)")
     p.add_argument("--disc_channels", type=int, default=512,
                    help="GAN discriminator width (512 = thesis spec; "
                         "shrink for CPU smokes)")
@@ -141,6 +148,8 @@ def config_from_args(args, spk_dim: int) -> ExperimentConfig:
             keep_old_checkpoints=args.keep_old_checkpoints,
             resume=args.resume,
             lambda_weight=tuple(args.lambda_weight),
+            lambda_adaptive=(tuple(args.lambda_adaptive)
+                             if args.lambda_adaptive is not None else None),
             disc_channels=args.disc_channels,
             ss_prob=args.ss_prob, input_noise_prob=args.input_noise,
             input_noise_levels=args.input_noise_levels),

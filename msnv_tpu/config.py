@@ -99,6 +99,20 @@ class TrainConfig:
     resume: bool = True
     # GAN variant: lambda ramp (start, target, ramp_steps) (ref run_samplegan.sh)
     lambda_weight: Tuple[float, float, float] = (0.0, 0.01, 50000.0)
+    # GAN variant, adaptive lambda (round 5; no reference analogue — the
+    # thesis uses a fixed ramp). (target_nll, gain, max_mult) or None.
+    # The frontier study (docs/VOICE_CONVERSION.md "round 5") measured that
+    # a fixed lambda stops winning once the task loss flattens: the in-loop
+    # discriminator NLL collapses toward 0, its latent gradient saturates,
+    # and conversion decays (0.83/0.93 -> 0.60/0.67 F0/spec->target at
+    # 380 epochs). When set, the ramped lambda is scaled each step by
+    # exp(gain * (target_nll - L2)) clipped to [1/max_mult, max_mult]:
+    # lambda grows while the discriminator beats the target NLL (speaker
+    # still recoverable from the latent) and relaxes when the conditioner
+    # wins — a stateless proportional controller, so the step signature,
+    # checkpoints, and the scan/mesh forms are unchanged. A natural
+    # target_nll is ln(spk_dim)/2 (half the chance-level NLL).
+    lambda_adaptive: Optional[Tuple[float, float, float]] = None
     # GAN discriminator width; 512 = thesis spec (doc §3.2.2, fig 3.5).
     # Smaller values are for CPU tests/smokes — the 512-channel disc costs
     # ~170 MFLOP per audio sample, minutes per step on a 2-vCPU box.

@@ -14,6 +14,17 @@ Semantics (ref doc/Barbany_report.pdf §3.2.2 + run_samplegan.sh
 
 Both updates run in ONE jitted step; the step index drives the ramp.
 
+Adaptive lambda (cfg.lambda_adaptive = (target_nll, gain, max_mult); no
+reference analogue): the ramped lambda is additionally scaled by
+exp(gain * (target_nll - L2)), clipped to [1/max_mult, max_mult]. L2 is
+available BEFORE lambda is applied (the shared discriminator backward
+computes it first), so the controller is stateless — nothing new in the
+carry, and the tensor/indexed/block-scan forms and checkpoints are
+untouched. Motivation: docs/VOICE_CONVERSION.md "round 5" — at the
+converged schedule a fixed lambda lets the in-loop discriminator NLL
+collapse to ~0, its latent gradient saturates, and conversion decays;
+holding L2 near a target keeps the reversal pressure alive.
+
 Like the identity-variant path (training/step.py), the step comes in three
 forms sharing one core: tensor-argument (`make_gan_train_step`), indexed
 over a device-resident corpus (`make_gan_train_step_indexed`), and a
@@ -110,6 +121,11 @@ def _make_gan_core(model_cfg: ModelConfig, train_cfg: TrainConfig,
             lambda lg: nll_bits_from_logits(lg, target), logits)
         l2, (d_grads, g_latent) = jax.value_and_grad(
             disc_loss, argnums=(0, 1))(disc_params, latent, spk)
+
+        if train_cfg.lambda_adaptive is not None:
+            target_nll, gain, max_mult = train_cfg.lambda_adaptive
+            mult = jnp.exp(gain * (target_nll - l2))
+            lam = lam * jnp.clip(mult, 1.0 / max_mult, max_mult)
 
         (dlogits,) = nll_vjp(jnp.ones_like(l1))
         (grads,) = f_vjp((dlogits, (-lam) * g_latent))

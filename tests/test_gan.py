@@ -156,3 +156,102 @@ def test_gan_trainer_end_to_end(tmp_path):
     assert "lambda" in trainer.stats
     st = trainer.checkpoint_state()
     assert "disc_params" in st and "disc_opt_state" in st
+
+
+def _tiny_gan_setup(tc, seed=0):
+    """Small gan-variant model + disc + one chunk of synthetic data."""
+    m = ModelConfig(frame_sizes=(2, 2), n_rnn=1, dim=16, cond_dim=5,
+                    cond_len=2, spk_dim=3, variant="gan", ind_cond_dim=4)
+    params = init_params(jax.random.PRNGKey(seed), m)
+    disc = discriminator_init(jax.random.PRNGKey(seed + 1), m.spk_dim,
+                              channels=8)
+    main_opt = make_optimizer(tc)
+    disc_opt = make_optimizer(tc)
+    mo = main_opt.init(params)
+    do = disc_opt.init(disc)
+    state = init_tier_state(m, 4)
+    rng = np.random.RandomState(seed)
+    data = jnp.asarray(rng.randint(0, 256, (4, 32 + m.lookback - 1)),
+                       jnp.int32)
+    target = jnp.asarray(rng.randint(0, 256, (4, 32)), jnp.int32)
+    cond = jnp.asarray(rng.rand(4, 32 // m.lookback, 5), jnp.float32)
+    spk = jnp.asarray([0, 1, 2, 0], jnp.int32)
+    step = make_gan_train_step(m, tc, main_opt, disc_opt)
+    return (m, step, params, disc, mo, do, state,
+            (data, target, cond, spk))
+
+
+def test_lambda_adaptive_mechanism():
+    """The adaptive controller scales the ramped lambda by
+    exp(gain*(target - L2)) with clipping; gain=0 reduces exactly to the
+    fixed ramp."""
+    lw = (0.0, 0.01, 10.0)
+    base = TrainConfig(seq_len=32, batch_size=4, lambda_weight=lw)
+    _, step_f, params, disc, mo, do, state, batch = _tiny_gan_setup(base)
+    data, target, cond, spk = batch
+    # past the ramp: fixed lambda == 0.01
+    args = (params, disc, mo, do, state, jnp.asarray(1e6), data,
+            jnp.asarray(True), target, cond, spk)
+    out_f = step_f(*args)
+    l2 = float(out_f[5]["disc_loss"])
+    assert np.isclose(float(out_f[5]["lambda"]), 0.01, rtol=1e-5)
+
+    # gain=0 -> multiplier 1: bit-identical to the fixed form
+    tc0 = TrainConfig(seq_len=32, batch_size=4, lambda_weight=lw,
+                      lambda_adaptive=(0.5, 0.0, 100.0))
+    _, step0, *_ = _tiny_gan_setup(tc0)
+    out0 = step0(*args)
+    assert float(out0[5]["lambda"]) == float(out_f[5]["lambda"])
+    for a, b in zip(jax.tree_util.tree_leaves(out_f[0]),
+                    jax.tree_util.tree_leaves(out0[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # target above the measured L2 -> lambda grows by exp(gain*(t-L2))
+    tc_a = TrainConfig(seq_len=32, batch_size=4, lambda_weight=lw,
+                      lambda_adaptive=(l2 + 0.3, 2.0, 100.0))
+    _, step_a, *_ = _tiny_gan_setup(tc_a)
+    out_a = step_a(*args)
+    np.testing.assert_allclose(float(out_a[5]["lambda"]),
+                               0.01 * np.exp(2.0 * 0.3), rtol=1e-4)
+
+    # huge gain -> clipped at max_mult
+    tc_c = TrainConfig(seq_len=32, batch_size=4, lambda_weight=lw,
+                       lambda_adaptive=(l2 + 0.3, 1e4, 50.0))
+    _, step_c, *_ = _tiny_gan_setup(tc_c)
+    out_c = step_c(*args)
+    np.testing.assert_allclose(float(out_c[5]["lambda"]), 0.01 * 50.0,
+                               rtol=1e-4)
+
+
+def test_lambda_adaptive_resists_disc_collapse():
+    """Dynamics: over a short run where the discriminator wins against a
+    fixed lambda, the controller holds its NLL measurably higher."""
+    lw = (0.01, 0.01, 1.0)   # constant lambda from step 0
+    n_steps = 60
+
+    def run(tc):
+        _, step, params, disc, mo, do, state, batch = _tiny_gan_setup(tc)
+        data, target, cond, spk = batch
+        l2 = lam = None
+        for i in range(n_steps):
+            params, disc, mo, do, state, metrics = step(
+                params, disc, mo, do, state, jnp.asarray(float(i)), data,
+                jnp.asarray(i == 0), target, cond, spk)
+            l2, lam = float(metrics["disc_loss"]), float(metrics["lambda"])
+        return l2, lam
+
+    fixed_l2, fixed_lam = run(
+        TrainConfig(seq_len=32, batch_size=4, learning_rate=3e-3,
+                    lambda_weight=lw))
+    target_nll = float(np.log(3.0)) / 2   # half chance level, spk_dim=3
+    adapt_l2, adapt_lam = run(
+        TrainConfig(seq_len=32, batch_size=4, learning_rate=3e-3,
+                    lambda_weight=lw,
+                    lambda_adaptive=(target_nll, 2.0, 100.0)))
+    # the discriminator must actually be winning in the fixed run for the
+    # comparison to mean anything
+    assert fixed_l2 < target_nll, (fixed_l2, target_nll)
+    assert np.isclose(fixed_lam, 0.01, rtol=1e-5)
+    # the controller raised lambda and kept the NLL above the fixed run
+    assert adapt_lam > 0.01 * 1.5, adapt_lam
+    assert adapt_l2 > fixed_l2 * 1.1, (adapt_l2, fixed_l2)
