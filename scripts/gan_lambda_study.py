@@ -70,11 +70,17 @@ def main():
                     cond_len=16, spk_dim=n_spk, variant="gan",
                     ind_cond_dim=8)
 
+    # (name, lambda_weight, lambda_adaptive): the round-5 adaptive rows pit
+    # the disc-NLL controller against its fixed-lambda twin at equal base
+    # schedule — target ln(3)/2 nats (half chance), gain 2, clip 100x.
+    tgt = math.log(3.0) / 2
     schedules = [
-        ("no adversary", (0.0, 0.0, 1.0)),
-        ("canonical 0->0.01", (0.0, 0.01, args.steps * 0.5)),
-        ("strong 0->0.1", (0.0, 0.1, args.steps * 0.5)),
-        ("immediate 0.1", (0.1, 0.1, 1.0)),
+        ("no adversary", (0.0, 0.0, 1.0), None),
+        ("canonical 0->0.01", (0.0, 0.01, args.steps * 0.5), None),
+        ("strong 0->0.1", (0.0, 0.1, args.steps * 0.5), None),
+        ("immediate 0.1", (0.1, 0.1, 1.0), None),
+        ("adaptive 0.01", (0.01, 0.01, 1.0), (tgt, 2.0, 100.0)),
+        ("fixed 0.01 (adaptive control)", (0.01, 0.01, 1.0), None),
     ]
 
     def latent_of(params, cfg, chunk, state):
@@ -85,16 +91,16 @@ def main():
         return latent
 
     rows = []
-    for name, lw in schedules:
+    for name, lw, la in schedules:
         tc = TrainConfig(seq_len=64, batch_size=6, learning_rate=2e-3,
-                         lambda_weight=lw)
+                         lambda_weight=lw, lambda_adaptive=la)
         params = init_params(jax.random.PRNGKey(0), m)
         disc = discriminator_init(jax.random.PRNGKey(1), n_spk, channels=8)
         main_opt, disc_opt = make_optimizer(tc), make_optimizer(tc)
         mo, do = main_opt.init(params), disc_opt.init(disc)
         state = init_tier_state(m, 6)
         step = make_gan_train_step(m, tc, main_opt, disc_opt)
-        nll = disc_nll = None
+        nll = disc_nll = eff_lam = None
         for i in range(args.steps):
             ch = chunks[i % len(chunks)]
             params, disc, mo, do, state, met = step(
@@ -103,8 +109,10 @@ def main():
                 jnp.asarray(ch.target), jnp.asarray(ch.cond),
                 jnp.asarray(ch.spk))
             l1, l2 = float(met["loss"]), float(met["disc_loss"])
+            lm = float(met["lambda"])
             nll = l1 if nll is None else 0.95 * nll + 0.05 * l1
             disc_nll = l2 if disc_nll is None else 0.95 * disc_nll + 0.05 * l2
+            eff_lam = lm if eff_lam is None else 0.95 * eff_lam + 0.05 * lm
 
         # post-hoc probe: fresh discriminator on the FROZEN final latent
         probe = discriminator_init(jax.random.PRNGKey(7), n_spk, channels=8)
@@ -131,9 +139,9 @@ def main():
             pl = float(l) if pl is None else 0.9 * pl + 0.1 * float(l)
 
         chance = math.log(n_spk)   # disc NLL is in nats
-        rows.append((name, lw, nll, disc_nll, pl, chance))
-        print(f"{name:20s} lambda={lw}: nll={nll:.3f} bits, "
-              f"disc={disc_nll:.3f}, probe={pl:.3f} "
+        rows.append((name, lw, nll, disc_nll, pl, chance, eff_lam))
+        print(f"{name:30s} lambda={lw} adaptive={la}: nll={nll:.3f} bits, "
+              f"disc={disc_nll:.3f}, probe={pl:.3f}, eff_lam={eff_lam:.4f} "
               f"(chance {chance:.3f} nats)", flush=True)
 
     if args.out:
@@ -142,10 +150,11 @@ def main():
                     f"{args.steps} steps, dim=32)\n\n")
             f.write("| schedule | lambda (start, target, ramp) | vocoder "
                     "NLL (bits) | in-loop disc NLL (nats) | post-hoc probe NLL (nats) | "
-                    "chance (nats) |\n|---|---|---|---|---|---|\n")
-            for name, lw, nll, dn, pl, ch in rows:
+                    "chance (nats) | final eff. lambda (EMA) |\n"
+                    "|---|---|---|---|---|---|---|\n")
+            for name, lw, nll, dn, pl, ch, el in rows:
                 f.write(f"| {name} | {lw} | {nll:.3f} | {dn:.3f} | "
-                        f"{pl:.3f} | {ch:.3f} |\n")
+                        f"{pl:.3f} | {ch:.3f} | {el:.4f} |\n")
         print(f"appended results to {args.out}")
 
 

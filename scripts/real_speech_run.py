@@ -143,6 +143,13 @@ def main():
                         "ramps over ~1/3 of a 150-epoch run on the "
                         "augmented 127 s corpus (~96 steps/epoch), unlike "
                         "the ref's 50k which would never engage here")
+    p.add_argument("--lambda_adaptive", nargs=3, type=float, default=None,
+                   metavar=("TARGET_NLL", "GAIN", "MAX_MULT"),
+                   help="adaptive GAN lambda controller (variant=gan): "
+                        "hold the in-loop disc NLL near TARGET_NLL by "
+                        "scaling the ramped lambda (see cli/train.py). "
+                        "Queued frontier cell: ln(spk)/2 2.0 100 at the "
+                        "450-epoch budget (docs/VOICE_CONVERSION.md)")
     p.add_argument("--probe_steps", type=int, default=300,
                    help="post-hoc probe training steps (variant=gan)")
     p.add_argument("--warm_start", default=None,
@@ -236,6 +243,9 @@ def main():
             if args.variant == "gan":
                 variant_flags += ["--lambda_weight",
                                   *(str(x) for x in args.lambda_weight)]
+                if args.lambda_adaptive is not None:
+                    variant_flags += ["--lambda_adaptive",
+                                      *(str(x) for x in args.lambda_adaptive)]
                 if args.tiny:
                     # the thesis-spec 512-channel discriminator costs
                     # minutes/step on a 2-vCPU box — shrink for the smoke
@@ -305,6 +315,8 @@ def main():
         suffix += f"_{args.variant}"
         if args.variant == "gan" and args.lambda_weight[1] == 0.0:
             suffix += "0"        # lambda-0 control (architecture, no adversary)
+        if args.variant == "gan" and args.lambda_adaptive is not None:
+            suffix += "_ad"      # adaptive-lambda controller cell
     gen_out = os.path.join(out, "gen" + suffix)
     shutil.rmtree(gen_out, ignore_errors=True)
     gen_main([
